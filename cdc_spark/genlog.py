@@ -1,0 +1,277 @@
+"""Deterministic synthetic binlog generator (FIXTURES.md F1).
+
+Produces the ordered change feed the engine tails: I/U/D DML events with
+before/after images + missing-mask (the reference's GoldenGate-shaped
+records, source/oracle/Normalizer.java:160-217) and DDL events
+(add/rename/widen column), written as one parquet "segment" per epoch —
+the sandbox stand-in for a binlog/WAL (reference sources:
+source/sqlserver/CTInputDStream.java:112-131 change-range scans,
+source/oracle/GoldenGateKafka.java:112-240 Kafka tail).
+
+Fully deterministic: seeded numpy Generator per epoch
+(``default_rng([seed, epoch])``), no wall clock. Generation is chunked by
+epoch so a 10^7-event log streams out in bounded memory; the 10^10
+nominal scale is reached by raising ``n_events`` — same code path.
+
+Semantics knobs (FIXTURES.md): Zipf-skewed hot keys, PK-change updates
+(normalizer must emit D+I, reference Normalizer.java:180-207),
+missing-mask updates (unchanged fields ride in the before image,
+Normalizer.java:190-202). Before/after images are synthetic-deterministic
+rather than state-honest: both the engine and the oracle apply from the
+event itself (full-image replacement semantics, like the reference's
+normalized records), so the two appliers agree by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLE_NAME = "corpus.tokens"
+
+ARROW_PAYLOAD = pa.struct(
+    [
+        ("doc_id", pa.string()),
+        ("tokens", pa.list_(pa.int32())),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
+        ("extra", pa.map_(pa.string(), pa.string())),
+    ]
+)
+
+ARROW_CHANGE = pa.schema(
+    [
+        ("lsn", pa.int64()),
+        ("epoch", pa.int32()),
+        ("table", pa.string()),
+        ("op_type", pa.string()),
+        ("primary_keys", pa.list_(pa.string())),
+        ("doc_id", pa.string()),
+        ("before", ARROW_PAYLOAD),
+        ("after", ARROW_PAYLOAD),
+        ("missing_mask", pa.list_(pa.string())),
+        ("ddl_kind", pa.string()),
+        ("ddl_payload", pa.string()),
+    ]
+)
+
+#: Default DDL schedule: (fraction-of-stream, kind, payload-dict).
+#: Exercises all three evolution kinds of the north rule.
+DEFAULT_DDL_SCHEDULE = (
+    (0.20, "add_column", {"name": "quality", "type": "float"}),
+    (0.35, "add_column", {"name": "rating", "type": "int"}),
+    (0.55, "rename_column", {"from": "quality", "to": "quality_score"}),
+    (0.75, "widen_column", {"name": "rating", "to": "long"}),
+)
+
+SOURCES = np.array(["wiki", "web", "code", "books", "news"])
+
+
+@dataclass(frozen=True)
+class GenConfig:
+    n_events: int = 10_000
+    n_docs: int = 1_000
+    events_per_epoch: int = 1_000
+    p_insert: float = 0.40
+    p_update: float = 0.40
+    p_delete: float = 0.20
+    zipf_s: float = 1.2
+    p_pk_change: float = 0.05
+    p_missing_tokens: float = 0.30
+    p_missing_source: float = 0.30
+    p_extra_value: float = 0.60
+    tokens_min: int = 8
+    tokens_max: int = 64
+    vocab: int = 50_000
+    seed: int = 42
+    ddl_schedule: tuple = DEFAULT_DDL_SCHEDULE
+
+    @property
+    def n_epochs(self) -> int:
+        return (self.n_events + self.events_per_epoch - 1) // self.events_per_epoch
+
+
+def ddl_events(cfg: GenConfig) -> list[tuple[int, str, str]]:
+    """Resolved DDL schedule as (lsn, kind, payload_json); lsns unique.
+
+    DML lsns are 1-based dense; a DDL event takes over the lsn of the DML
+    slot it displaces (collisions bump forward by one)."""
+    seen: dict[int, tuple[int, str, str]] = {}
+    for frac, kind, payload in cfg.ddl_schedule:
+        lsn = max(1, min(cfg.n_events, int(cfg.n_events * frac)))
+        while lsn in seen:
+            lsn += 1
+        seen[lsn] = (lsn, kind, json.dumps(payload, sort_keys=True))
+    return sorted(seen.values())
+
+
+def added_extras(cfg: GenConfig) -> list[tuple[int, str]]:
+    """(add_lsn, source_key) for every add_column in the schedule.
+
+    Source keys never change on rename: the feed keeps emitting the
+    original field name; rename applies to the *target* table only
+    (mirrors GoldenGate, where the trail schema is source-side)."""
+    out = []
+    for lsn, kind, pj in ddl_events(cfg):
+        if kind == "add_column":
+            out.append((lsn, json.loads(pj)["name"]))
+    return out
+
+
+def _list_from(offsets: np.ndarray, values: list | np.ndarray, vtype, null_rows: np.ndarray):
+    """ListArray with nulls at null_rows (null encoded as null offset)."""
+    off = offsets.tolist()
+    off_arr = [None if (i < len(null_rows) and null_rows[i]) else off[i] for i in range(len(off))]
+    # pyarrow interprets a null offset as a null list *entry i* (between
+    # offset i and i+1); the final offset must stay concrete.
+    off_list = []
+    for i in range(len(off)):
+        if i < len(null_rows) and null_rows[i]:
+            off_list.append(None)
+        else:
+            off_list.append(off[i])
+    del off_arr
+    return pa.ListArray.from_arrays(pa.array(off_list, type=pa.int32()), pa.array(values, type=vtype))
+
+
+def _payload_arrays(
+    rng: np.random.Generator,
+    cfg: GenConfig,
+    lsns: np.ndarray,
+    doc_idx: np.ndarray,
+    valid: np.ndarray,
+    extra_keys: list[tuple[int, str]],
+) -> pa.StructArray:
+    """Payload StructArray; rows where ~valid are null structs.
+
+    Extra-column values appear only on events with lsn strictly greater
+    than the column's add-DDL lsn — so DML touches new columns both in
+    the same epoch as the DDL and in later epochs (SURVEY.md §5.2 #4)."""
+    n = len(doc_idx)
+    lens = rng.integers(cfg.tokens_min, cfg.tokens_max + 1, size=n).astype(np.int32)
+    lens[~valid] = 0  # parquet forbids non-empty lists under null structs
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = rng.integers(0, cfg.vocab, size=int(offsets[-1]), dtype=np.int32)
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(flat))
+    n_tok = pa.array(lens, type=pa.int32())
+    src = pa.array(SOURCES[rng.integers(0, len(SOURCES), size=n)])
+    doc_ids = pa.array([f"doc{int(i):08d}" for i in doc_idx])
+
+    keys_flat: list[str] = []
+    vals_flat: list[str] = []
+    moff = np.zeros(n + 1, dtype=np.int32)
+    if extra_keys:
+        carry = rng.random((n, len(extra_keys))) < cfg.p_extra_value
+        raw = rng.integers(0, 100, size=(n, len(extra_keys)))
+        cnt = 0
+        for i in range(n):
+            for j, (add_lsn, key) in enumerate(extra_keys):
+                if valid[i] and carry[i, j] and lsns[i] > add_lsn:
+                    keys_flat.append(key)
+                    vals_flat.append(
+                        f"{raw[i, j] / 100:.2f}" if key.startswith("quality") else str(int(raw[i, j]))
+                    )
+                    cnt += 1
+            moff[i + 1] = cnt
+    extra = pa.MapArray.from_arrays(
+        pa.array(moff),
+        pa.array(keys_flat, type=pa.string()),
+        pa.array(vals_flat, type=pa.string()),
+    )
+
+    return pa.StructArray.from_arrays(
+        [doc_ids, tokens, n_tok, src, extra],
+        fields=list(ARROW_PAYLOAD),
+        mask=pa.array(~valid),
+    )
+
+
+def generate_epoch(cfg: GenConfig, epoch: int) -> pa.Table:
+    """Generate one epoch's segment deterministically."""
+    rng = np.random.default_rng([cfg.seed, epoch])
+    lo = epoch * cfg.events_per_epoch + 1  # lsn is 1-based
+    hi = min((epoch + 1) * cfg.events_per_epoch, cfg.n_events)
+    n = hi - lo + 1
+    if n <= 0:
+        raise ValueError(f"epoch {epoch} out of range")
+    lsns = np.arange(lo, hi + 1, dtype=np.int64)
+
+    ddl_map = {l: (k, pj) for l, k, pj in ddl_events(cfg) if lo <= l <= hi}
+    is_ddl = np.isin(lsns, np.array(sorted(ddl_map), dtype=np.int64)) if ddl_map else np.zeros(n, bool)
+
+    u = rng.random(n)
+    ops = np.where(u < cfg.p_insert, "I", np.where(u < cfg.p_insert + cfg.p_update, "U", "D")).astype(object)
+    ops[is_ddl] = "DDL"
+
+    ranks = np.arange(1, cfg.n_docs + 1, dtype=np.float64)
+    w = ranks ** (-cfg.zipf_s)
+    cdf = np.cumsum(w / w.sum())
+    doc_idx = np.searchsorted(cdf, rng.random(n), side="right")
+    pk_change = (ops == "U") & (rng.random(n) < cfg.p_pk_change)
+    after_idx = doc_idx.copy()
+    npk = int(pk_change.sum())
+    if npk:
+        after_idx[pk_change] = (doc_idx[pk_change] + 1 + rng.integers(0, cfg.n_docs - 1, size=npk)) % cfg.n_docs
+
+    is_i = ops == "I"
+    is_u = ops == "U"
+    is_d = ops == "D"
+
+    extra_keys = added_extras(cfg)
+    before = _payload_arrays(rng, cfg, lsns, doc_idx, valid=(is_u | is_d), extra_keys=extra_keys)
+    after = _payload_arrays(rng, cfg, lsns, after_idx, valid=(is_i | is_u), extra_keys=extra_keys)
+
+    miss_tok = is_u & (rng.random(n) < cfg.p_missing_tokens)
+    miss_src = is_u & (rng.random(n) < cfg.p_missing_source)
+    mm: list[list[str] | None] = [
+        ((["tokens"] if miss_tok[i] else []) + (["source"] if miss_src[i] else []))
+        if is_u[i]
+        else None
+        for i in range(n)
+    ]
+    missing_mask = pa.array(mm, type=pa.list_(pa.string()))
+    primary_keys = pa.array(
+        [None if d else ["doc_id"] for d in is_ddl], type=pa.list_(pa.string())
+    )
+
+    top_doc = np.where(is_d, doc_idx, after_idx)
+    doc_col = pa.array(
+        [None if d else f"doc{int(i):08d}" for d, i in zip(is_ddl, top_doc)], type=pa.string()
+    )
+    ddl_kind = pa.array([ddl_map[l][0] if l in ddl_map else None for l in lsns], type=pa.string())
+    ddl_payload = pa.array([ddl_map[l][1] if l in ddl_map else None for l in lsns], type=pa.string())
+
+    return pa.Table.from_arrays(
+        [
+            pa.array(lsns),
+            pa.array(np.full(n, epoch, dtype=np.int32)),
+            pa.array([TABLE_NAME] * n),
+            pa.array(ops.astype(str), type=pa.string()),
+            primary_keys,
+            doc_col,
+            before,
+            after,
+            missing_mask,
+            ddl_kind,
+            ddl_payload,
+        ],
+        schema=ARROW_CHANGE,
+    )
+
+
+def write_binlog(cfg: GenConfig, outdir: str) -> list[str]:
+    """Write one parquet segment per epoch; returns segment paths."""
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    for e in range(cfg.n_epochs):
+        t = generate_epoch(cfg, e)
+        p = os.path.join(outdir, f"segment-{e:05d}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    return paths

@@ -1,0 +1,135 @@
+"""CLI job entrypoint — the spark-submit surface of the engine.
+
+Usage (sandbox local mode; on a cluster drop the --master):
+
+    # generate a synthetic binlog (FIXTURES.md F1)
+    python -m cdc_spark.job gen --out /tmp/binlog --events 100000 --epoch-size 10000
+
+    # replay it into the target table (batch driver)
+    spark-submit --py-files cdc_spark.zip -m ... cdc_spark/job.py replay \
+        --binlog /tmp/binlog --table /tmp/tokens_table
+
+    # or the Structured Streaming driver with checkpoint resume
+    ... stream --binlog /tmp/binlog --table /tmp/tokens_table --checkpoint /tmp/ckpt
+
+    # verify final state against the single-threaded oracle
+    python -m cdc_spark.job verify --binlog /tmp/binlog --table /tmp/tokens_table
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cdc_spark.job")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate synthetic binlog segments")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--docs", type=int, default=10_000)
+    g.add_argument("--epoch-size", type=int, default=10_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--zipf", type=float, default=1.2)
+
+    for name in ("replay", "stream"):
+        r = sub.add_parser(name, help=f"{name} driver: binlog → target table")
+        r.add_argument("--binlog", required=True)
+        r.add_argument("--table", required=True)
+        r.add_argument("--dedupe", default="agg", choices=["agg", "window", "salted"])
+        r.add_argument("--normalize", default="expr", choices=["expr", "arrow"])
+        r.add_argument("--compact-every", type=int, default=16)
+        if name == "stream":
+            r.add_argument("--checkpoint", required=True)
+        _add_common(r)
+
+    v = sub.add_parser("verify", help="compare final table state vs oracle applier")
+    v.add_argument("--binlog", required=True)
+    v.add_argument("--table", required=True)
+    _add_common(v)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "gen":
+        from cdc_spark.genlog import GenConfig, write_binlog
+
+        cfg = GenConfig(
+            n_events=args.events, n_docs=args.docs, events_per_epoch=args.epoch_size,
+            seed=args.seed, zipf_s=args.zipf,
+        )
+        t0 = time.monotonic()
+        paths = write_binlog(cfg, args.out)
+        print(json.dumps({"segments": len(paths), "events": args.events,
+                          "seconds": round(time.monotonic() - t0, 2)}))
+        return 0
+
+    from cdc_spark.session import get_spark
+
+    spark = get_spark(master=args.master, shuffle_partitions=args.shuffle_partitions)
+    try:
+        if args.cmd in ("replay", "stream"):
+            t0 = time.monotonic()
+            if args.cmd == "replay":
+                from cdc_spark.streaming.pipeline import replay
+
+                table = replay(
+                    spark, args.binlog, args.table,
+                    dedupe_mode=args.dedupe, normalize_impl=args.normalize,
+                    compact_every=args.compact_every,
+                )
+            else:
+                from cdc_spark.streaming.pipeline import stream
+
+                table = stream(spark, args.binlog, args.table, checkpoint_dir=args.checkpoint,
+                               dedupe_mode=args.dedupe)
+            dt = time.monotonic() - t0
+            st = table.state()
+            n_rows = table.read_resolved(spark).count()
+            print(json.dumps({
+                "epochs_applied": len(st["epochs"]), "version": st["version"],
+                "final_rows": n_rows, "seconds": round(dt, 2),
+                "registry": st["registry"],
+            }))
+            return 0
+
+        if args.cmd == "verify":
+            from cdc_spark import oracle
+            from cdc_spark.sinks.target import TargetTable
+
+            state, reg = oracle.replay(f"{args.binlog}/segment-*.parquet")
+            expected = {r["doc_id"]: r for r in oracle.final_rows(state, reg)}
+            table = TargetTable(args.table)
+            actual = {r["doc_id"]: r.asDict() for r in table.read_resolved(spark).collect()}
+            diffs = []
+            for k in set(expected) | set(actual):
+                if k not in expected or k not in actual:
+                    diffs.append(k)
+                    continue
+                o, e = expected[k], actual[k]
+                for col, ov in o.items():
+                    ev = e.get(col)
+                    if col == "tokens":
+                        ov = list(ov) if ov is not None else None
+                        ev = list(ev) if ev is not None else None
+                    if ov != ev:
+                        diffs.append(f"{k}.{col}")
+            print(json.dumps({"rows_oracle": len(expected), "rows_engine": len(actual),
+                              "diffs": len(diffs), "ok": not diffs,
+                              "sample": diffs[:5]}))
+            return 0 if not diffs else 1
+        return 2
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,152 @@
+"""Single-threaded golden oracle applier (FIXTURES.md F4).
+
+Replays a binlog (F1 parquet segments) in strict lsn order into a plain
+Python dict keyed by doc_id — the trivially-correct reference the
+distributed engine must match per-row (token-array equality). Mirrors
+the reference's implied apply-and-replay test (docs/CDCHBase-sparksink.md
+"Table Creation"/"Table Modification" walkthroughs; the reference ships
+zero automated tests, SURVEY.md §5.1).
+
+Semantics (shared contract with the engine):
+- I/U are both full-image upserts (reference treats them identically,
+  sink/CDCTableUtil.java:77-83); for U, fields named in missing_mask
+  take the before-image value (Normalizer.java:190-207).
+- extra maps merge after-over-before within the event; the stored row is
+  the event's merged image (replacement, not accumulation).
+- A PK-change update (before.doc_id != after.doc_id) is a delete of the
+  old key + insert of the new (Normalizer.java:180-207,219-237).
+- D removes the key (HBase Delete, CDCTableUtil.java:86-89); deleting an
+  absent key is a no-op.
+- DDL updates the column registry: add appends (nullable), rename keeps
+  data and source_key, widen changes the cast type. Final projection
+  casts extra[source_key] to the registry type under the registry name.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pyarrow.parquet as pq
+
+import numpy as _np
+
+_CASTS = {
+    "int": int,
+    "long": int,
+    # Spark FloatType is float32; round-trip through np.float32 so the
+    # oracle's Python value is bit-identical to the engine's.
+    "float": lambda s: float(_np.float32(s)),
+    "double": float,
+    "string": str,
+    "boolean": lambda s: s in ("true", "True", "1"),
+}
+
+
+class Registry:
+    """Ordered registry of DDL-added columns: [{target, source_key, type}]."""
+
+    def __init__(self) -> None:
+        self.cols: list[dict] = []
+
+    def apply(self, kind: str, payload: str) -> None:
+        p = json.loads(payload)
+        if kind == "add_column":
+            self.cols.append({"target": p["name"], "source_key": p["name"], "type": p["type"]})
+        elif kind == "rename_column":
+            for c in self.cols:
+                if c["target"] == p["from"]:
+                    c["target"] = p["to"]
+                    return
+            raise KeyError(f"rename: no column {p['from']}")
+        elif kind == "widen_column":
+            for c in self.cols:
+                if c["target"] == p["name"]:
+                    c["type"] = p["to"]
+                    return
+            raise KeyError(f"widen: no column {p['name']}")
+        else:
+            raise ValueError(f"unknown ddl_kind {kind}")
+
+    def snapshot(self) -> list[dict]:
+        return [dict(c) for c in self.cols]
+
+
+def _as_map(extra) -> dict:
+    if extra is None:
+        return {}
+    if isinstance(extra, dict):
+        return dict(extra)
+    return dict(extra)  # pyarrow map -> list of (k, v)
+
+
+def _merged_image(ev: dict) -> dict:
+    """Full row image for an I/U event (before-fill per missing_mask)."""
+    before = ev["before"] or {}
+    after = ev["after"] or {}
+    mask = set(ev["missing_mask"] or [])
+    img = {}
+    if ev["op_type"] == "U" and "tokens" in mask:
+        img["tokens"] = before.get("tokens")
+        img["n_tok"] = before.get("n_tok")
+    else:
+        img["tokens"] = after.get("tokens")
+        img["n_tok"] = after.get("n_tok")
+    if ev["op_type"] == "U" and "source" in mask:
+        img["source"] = before.get("source")
+    else:
+        img["source"] = after.get("source")
+    img["extra"] = {**_as_map(before.get("extra")), **_as_map(after.get("extra"))}
+    return img
+
+
+def replay(segments: list[str] | str) -> tuple[dict, Registry]:
+    """Replay segments (paths or glob) → (state dict, registry).
+
+    State values: {tokens, n_tok, source, extra(raw str map), last_lsn}.
+    """
+    if isinstance(segments, str):
+        segments = sorted(glob.glob(segments))
+    state: dict[str, dict] = {}
+    reg = Registry()
+    last_lsn = -1
+    for seg in segments:
+        tbl = pq.read_table(seg)
+        for ev in tbl.to_pylist():
+            assert ev["lsn"] > last_lsn, "binlog must be strictly lsn-ordered"
+            last_lsn = ev["lsn"]
+            op = ev["op_type"]
+            if op == "DDL":
+                reg.apply(ev["ddl_kind"], ev["ddl_payload"])
+                continue
+            if op == "D":
+                state.pop(ev["doc_id"], None)
+                continue
+            img = _merged_image(ev)
+            if op == "U":
+                b = ev["before"] or {}
+                a = ev["after"] or {}
+                if b.get("doc_id") is not None and b["doc_id"] != a["doc_id"]:
+                    state.pop(b["doc_id"], None)  # PK change: D(old) + I(new)
+            doc_id = (ev["after"] or {})["doc_id"]
+            state[doc_id] = {**img, "last_lsn": ev["lsn"]}
+    return state, reg
+
+
+def final_rows(state: dict, reg: Registry) -> list[dict]:
+    """Projected final table rows (F2 + registry extras), sorted by doc_id."""
+    rows = []
+    for doc_id in sorted(state):
+        r = state[doc_id]
+        row = {
+            "doc_id": doc_id,
+            "tokens": list(r["tokens"]) if r["tokens"] is not None else None,
+            "n_tok": r["n_tok"],
+            "source": r["source"],
+            "last_lsn": r["last_lsn"],
+        }
+        for c in reg.cols:
+            v = r["extra"].get(c["source_key"])
+            row[c["target"]] = None if v is None else _CASTS[c["type"]](v)
+        rows.append(row)
+    return rows

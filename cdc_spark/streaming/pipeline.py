@@ -1,0 +1,240 @@
+"""Micro-batch apply lifecycle (SURVEY.md §3.4) — the engine's core loop.
+
+Per micro-batch (epoch), mirroring the reference's per-batch flow
+(CTSQLServer.java:70-122 source graph; sink apply CDCKudu.java:352-384)
+but set-based instead of row-at-a-time:
+
+1. split DDL events (rare/tiny) → apply to table metadata FIRST — the
+   two-phase replacement for the reference's DDL-before-DML sort barrier
+   (CTSQLServer.java:108-114). Each DDL commit is idempotent by
+   (epoch, lsn) id, so a crash mid-batch resumes safely.
+2. normalize DML → canonical apply-events (operators.normalize).
+3. LWW-dedupe per doc_id (operators.dedupe) — restores per-key order so
+   the feed can be read from N partitions (fixes the reference's
+   single-partition TODO, CTInputDStream.java:127).
+4. project to the table's physical schema under the current registry and
+   commit as a delta — idempotent per epoch (exactly-once; the reference
+   keeps offsets in driver memory only, CTInputDStream.java:60-62,96-97).
+5. emit per-partition lineage (offset range, op counts, snapshot id,
+   events/sec) — FIXTURES.md F3, required by the north rule.
+
+Both drivers below (batch `replay`, Structured Streaming `stream`) call
+the same `apply_batch`, so resume/replay semantics are identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_spark.operators.dedupe import lww_dedupe
+from cdc_spark.operators.normalize import normalize
+from cdc_spark.schema import CHANGE_SCHEMA, SPARK_TYPE
+from cdc_spark.sinks.target import TargetTable
+
+
+def project_to_table(events: DataFrame, registry: list[dict]) -> DataFrame:
+    """Apply-events → physical table columns under the current registry.
+
+    Extra-column values ride in the event's string map under their
+    *source* key; the physical column uses the (possibly renamed) target
+    name and the (possibly widened) type. Unregistered keys are ignored."""
+    sel = [
+        F.col("doc_id"),
+        F.col("tokens"),
+        F.col("n_tok"),
+        F.col("source"),
+    ]
+    for c in registry:
+        sel.append(
+            F.col("extra").getItem(c["source_key"]).cast(SPARK_TYPE[c["type"]]).alias(c["target"])
+        )
+    sel += [F.col("lsn").alias("last_lsn"), F.col("deleted")]
+    return events.select(*sel)
+
+
+def lineage_stats(raw: DataFrame) -> DataFrame:
+    """Per-partition offset range + op counts (F3), computed on the raw
+    batch pre-dedupe — one narrow aggregation, no extra shuffle stage
+    beyond the groupBy on partition id."""
+    return (
+        raw.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+            F.sum(F.when(F.col("op_type") == "I", 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(F.col("op_type") == "U", 1).otherwise(0)).alias("n_update"),
+            F.sum(F.when(F.col("op_type") == "D", 1).otherwise(0)).alias("n_delete"),
+            F.sum(F.when(F.col("op_type") == "DDL", 1).otherwise(0)).alias("n_ddl"),
+        )
+    )
+
+
+def apply_batch(
+    spark: SparkSession,
+    table: TargetTable,
+    batch: DataFrame,
+    epoch: int,
+    dedupe_mode: str = "agg",
+    normalize_impl: str = "expr",
+    lineage_dir: str | None = None,
+) -> dict:
+    """Apply one epoch's change events; returns {applied, n_events, ...}.
+
+    Idempotent: re-delivery of an applied epoch is a no-op (exactly-once)."""
+    t0 = time.monotonic()
+    if table.has_epoch(epoch):
+        return {"applied": False, "epoch": epoch, "reason": "epoch already committed"}
+
+    batch = batch.persist()  # scanned by DDL-split, lineage, and the main pass
+
+    # -- phase 1: DDL barrier (driver-side; DDL volume is tiny by design) --
+    ddl_rows = (
+        batch.filter(F.col("op_type") == "DDL")
+        .select("lsn", "ddl_kind", "ddl_payload")
+        .collect()
+    )
+    for r in sorted(ddl_rows, key=lambda r: r["lsn"]):
+        table.apply_ddl(spark, r["ddl_kind"], r["ddl_payload"], ddl_id=f"{epoch}:{r['lsn']}")
+
+    registry = table.state()["registry"]
+
+    # -- phase 2: normalize → dedupe → project → delta commit --
+    events = normalize(batch, impl=normalize_impl)
+    deduped = lww_dedupe(events, key="doc_id", order="lsn", mode=dedupe_mode)
+    delta = project_to_table(deduped, registry)
+    lineage = lineage_stats(batch).collect()
+    entry = table.commit_delta(delta, epoch)
+    batch.unpersist()
+
+    dt = time.monotonic() - t0
+    n_events = int(sum(r["n_insert"] + r["n_update"] + r["n_delete"] + r["n_ddl"] for r in lineage))
+    if lineage_dir is not None and entry is not None:
+        os.makedirs(lineage_dir, exist_ok=True)
+        rows = [
+            {
+                "epoch": epoch,
+                "partition_id": r["partition_id"],
+                "min_lsn": r["min_lsn"],
+                "max_lsn": r["max_lsn"],
+                "n_insert": r["n_insert"],
+                "n_update": r["n_update"],
+                "n_delete": r["n_delete"],
+                "n_ddl": r["n_ddl"],
+                "snapshot_id": entry["snapshot_id"],
+                "events_per_sec": n_events / dt if dt > 0 else None,
+            }
+            for r in lineage
+        ]
+        with open(os.path.join(lineage_dir, f"epoch-{epoch:08d}.json"), "w") as f:
+            json.dump(rows, f)
+    return {
+        "applied": entry is not None,
+        "epoch": epoch,
+        "n_events": n_events,
+        "n_ddl": len(ddl_rows),
+        "seconds": dt,
+        "snapshot_id": entry["snapshot_id"] if entry else None,
+    }
+
+
+def read_changes(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(CHANGE_SCHEMA).parquet(path)
+
+
+def replay(
+    spark: SparkSession,
+    binlog_dir: str,
+    table_path: str,
+    dedupe_mode: str = "agg",
+    normalize_impl: str = "expr",
+    lineage: bool = True,
+    stop_after: int | None = None,
+    compact_every: int = 16,
+) -> TargetTable:
+    """Batch replay driver: one apply_batch per segment, in epoch order.
+
+    `stop_after` aborts after N epochs (for kill/resume tests); calling
+    replay again resumes — already-committed epochs no-op."""
+    table = TargetTable(table_path, compact_every=compact_every)
+    table.create_if_absent()
+    segs = sorted(
+        f for f in os.listdir(binlog_dir) if f.startswith("segment-") and f.endswith(".parquet")
+    )
+    lineage_dir = os.path.join(table_path, "_lineage") if lineage else None
+    done = 0
+    for seg in segs:
+        epoch = int(seg[len("segment-") : -len(".parquet")])
+        batch = read_changes(spark, os.path.join(binlog_dir, seg))
+        apply_batch(
+            spark, table, batch, epoch,
+            dedupe_mode=dedupe_mode, normalize_impl=normalize_impl, lineage_dir=lineage_dir,
+        )
+        done += 1
+        if stop_after is not None and done >= stop_after:
+            break
+    return table
+
+
+def stream(
+    spark: SparkSession,
+    binlog_dir: str,
+    table_path: str,
+    checkpoint_dir: str,
+    dedupe_mode: str = "agg",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Structured Streaming driver: readStream over the segment directory,
+    foreachBatch → the same apply_batch (reference: DStream pipeline,
+    CTSQLServer.java:70-122, with offsets now in the checkpoint — S6 fixed).
+
+    The epoch id comes from the data (epoch column), not the streaming
+    batch id, so exactly-once holds even if the checkpoint and journal
+    disagree. Epochs inside a micro-batch are applied in sorted order;
+    a micro-batch whose lowest unapplied epoch is NOT the next expected
+    one fails loudly — the file source orders files by modification
+    time, which for a real binlog equals epoch order, but silently
+    applying a later epoch first would let its DML commit under a
+    pre-DDL registry (found by an out-of-order-delivery probe; the
+    reference dodges this only by forcing a single totally-ordered
+    partition, GoldenGateKafka.java:242-259)."""
+    table = TargetTable(table_path)
+    table.create_if_absent()
+    lineage_dir = os.path.join(table_path, "_lineage")
+
+    def handle(bdf: DataFrame, _bid: int) -> None:
+        epochs = [r["epoch"] for r in bdf.select("epoch").distinct().collect()]
+        applied = set(table.state()["epochs"])
+        for e in sorted(epochs):
+            if e in applied:
+                continue
+            if applied and e != max(applied) + 1:
+                raise RuntimeError(
+                    f"out-of-order segment delivery: epoch {e} arrived but "
+                    f"epochs applied so far are {sorted(applied)}; binlog "
+                    "segments must be delivered in epoch order"
+                )
+            apply_batch(
+                spark, table, bdf.filter(F.col("epoch") == e), e,
+                dedupe_mode=dedupe_mode, lineage_dir=lineage_dir,
+            )
+            applied.add(e)
+
+    reader = spark.readStream.schema(CHANGE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = reader.parquet(binlog_dir)
+    writer = (
+        reader.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return table
+    return writer.start()

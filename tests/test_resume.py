@@ -1,0 +1,113 @@
+"""Exactly-once / resume tests (SURVEY.md §5.2 #3): kill after batch k,
+resume, final state identical; re-deliver whole epochs → no double-apply.
+The reference cannot do this — its offsets live in driver memory only
+(CTInputDStream.java:60-62,96-97)."""
+
+from cdc_spark.sinks.target import TargetTable
+from cdc_spark.streaming.pipeline import apply_batch, read_changes, replay
+from tests.conftest import assert_matches_oracle
+
+
+def test_kill_and_resume(spark, small_binlog, workdir):
+    tdir = f"{workdir}/t_resume"
+    replay(spark, small_binlog, tdir, stop_after=2)  # "crash" after epoch 1
+    t = TargetTable(tdir)
+    assert t.state()["epochs"] == [0, 1]
+    replay(spark, small_binlog, tdir)  # resume from scratch scan
+    assert_matches_oracle(spark, TargetTable(tdir), small_binlog)
+
+
+def test_epoch_redelivery_is_noop(spark, small_binlog, workdir):
+    tdir = f"{workdir}/t_redeliver"
+    table = replay(spark, small_binlog, tdir)
+    v_before = table.state()["version"]
+    batch = read_changes(spark, f"{small_binlog}/segment-00002.parquet")
+    res = apply_batch(spark, table, batch, epoch=2)
+    assert res["applied"] is False
+    assert table.state()["version"] == v_before
+    assert_matches_oracle(spark, table, small_binlog)
+
+
+def test_full_replay_idempotent(spark, small_binlog, workdir):
+    tdir = f"{workdir}/t_replay_twice"
+    replay(spark, small_binlog, tdir)
+    s1 = TargetTable(tdir).state()
+    replay(spark, small_binlog, tdir)  # replay everything again
+    s2 = TargetTable(tdir).state()
+    assert s1["version"] == s2["version"]
+    assert_matches_oracle(spark, TargetTable(tdir), small_binlog)
+
+
+def test_structured_streaming_driver(spark, small_binlog, workdir):
+    """readStream → foreachBatch path produces the same final state."""
+    from cdc_spark.streaming.pipeline import stream
+
+    tdir = f"{workdir}/t_stream"
+    table = stream(
+        spark, small_binlog, tdir, checkpoint_dir=f"{workdir}/ckpt_stream"
+    )
+    assert_matches_oracle(spark, table, small_binlog)
+
+
+def test_streaming_reversed_mtimes_still_ordered(spark, small_binlog, workdir):
+    """Regression: file-source delivery order is mtime-based; an
+    availableNow run over segments with REVERSED mtimes must still apply
+    epochs in order (sorted inside the batch), not corrupt DDL/DML
+    ordering. Found by an out-of-order-delivery probe during /verify."""
+    import os
+    import shutil
+    import tempfile
+
+    from cdc_spark.streaming.pipeline import stream
+
+    feed = tempfile.mkdtemp(prefix="feed_rev_", dir=workdir)
+    for i in range(5):
+        p = shutil.copy(f"{small_binlog}/segment-{i:05d}.parquet", feed)
+        t = 1_700_000_000 - i * 1000  # newer file = older epoch
+        os.utime(p, (t, t))
+    tdir = f"{workdir}/t_stream_rev"
+    table = stream(spark, feed, tdir, checkpoint_dir=f"{workdir}/ckpt_rev")
+    assert sorted(table.state()["epochs"]) == [0, 1, 2, 3, 4]
+    assert_matches_oracle(spark, table, small_binlog)
+
+
+def test_streaming_epoch_gap_fails_loudly(spark, small_binlog, workdir):
+    """A feed whose next segment skips an epoch must raise, not silently
+    apply DML under a stale registry."""
+    import shutil
+    import tempfile
+
+    import pytest
+
+    from cdc_spark.streaming.pipeline import stream
+
+    feed = tempfile.mkdtemp(prefix="feed_gap_", dir=workdir)
+    shutil.copy(f"{small_binlog}/segment-00000.parquet", feed)
+    tdir, ckpt = f"{workdir}/t_stream_gap", f"{workdir}/ckpt_gap"
+    stream(spark, feed, tdir, checkpoint_dir=ckpt)
+    shutil.copy(f"{small_binlog}/segment-00002.parquet", feed)  # skip epoch 1
+    with pytest.raises(Exception, match="out-of-order segment delivery"):
+        stream(spark, feed, tdir, checkpoint_dir=ckpt)
+
+
+def test_streaming_resume_from_checkpoint(spark, small_binlog, workdir):
+    """Process part of the feed via streaming, 'crash', then resume with the
+    same checkpoint — segments already processed are not re-applied (and
+    even if they were, the journal guard makes it a no-op)."""
+    import shutil
+    import tempfile
+
+    from cdc_spark.streaming.pipeline import stream
+
+    # stage only the first 2 segments, run, then add the rest and resume
+    feed = tempfile.mkdtemp(prefix="feed_", dir=workdir)
+    for i in range(2):
+        shutil.copy(f"{small_binlog}/segment-{i:05d}.parquet", feed)
+    tdir, ckpt = f"{workdir}/t_stream_resume", f"{workdir}/ckpt_resume"
+    table = stream(spark, feed, tdir, checkpoint_dir=ckpt)
+    assert table.state()["epochs"] == [0, 1]
+    for i in range(2, 5):
+        shutil.copy(f"{small_binlog}/segment-{i:05d}.parquet", feed)
+    table = stream(spark, feed, tdir, checkpoint_dir=ckpt)
+    assert sorted(table.state()["epochs"]) == [0, 1, 2, 3, 4]
+    assert_matches_oracle(spark, table, small_binlog)
