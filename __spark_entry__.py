@@ -1,38 +1,450 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry re-expresses one operator from SURVEY.md §2 (or
+a training-data-pipeline operator) over the driver's pre-generated
+tables; ``oracle_sql()`` gives the ANSI-SQL twin DuckDB runs on the same
+parquet. Column names and types are aligned on both sides (the driver
+hash-compares values after sorting columns by name).
+
+CDC-semantics queries run over `events` (user_id ≈ doc_id primary key,
+event_id ≈ lsn, 'purchase' ≈ delete op) — per FIXTURES.md "Driver
+testdata alignment". The full CDC engine itself is exercised by
+``entry`` and the rows-only ``cdc_replay_final_state`` (binlog replay is
+not expressible as a single SQL statement; pytest covers it against the
+single-threaded oracle applier).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_T = ["region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings"]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship: full CDC replay (engine end-to-end)
+# ---------------------------------------------------------------------------
+
+def _replay_flagship(spark: SparkSession, sf_dir: str, n_events: int = 10_000) -> DataFrame:
+    """Generate a deterministic binlog sized off the documents table,
+    replay it through the engine (normalize → LWW dedupe → exactly-once
+    merge with schema evolution), return the final tokens table."""
+    from cdc_spark.genlog import GenConfig, write_binlog
+    from cdc_spark.streaming.pipeline import replay
+
+    n_docs = _load(spark, sf_dir, "documents").count()
+    work = tempfile.mkdtemp(prefix="cdc_entry_")
+    try:
+        cfg = GenConfig(
+            n_events=n_events, n_docs=max(int(n_docs), 50),
+            events_per_epoch=max(n_events // 10, 1), seed=42,
+        )
+        write_binlog(cfg, f"{work}/binlog")
+        table = replay(spark, f"{work}/binlog", f"{work}/table", lineage=False)
+        out = table.read_resolved(spark)
+        # materialize before the tmpdir vanishes
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _replay_flagship(spark, "/root/testdata/sf0.001", n_events=5_000)
+
+
+# ---------------------------------------------------------------------------
+# CDC operator queries (events table; DuckDB-oracled)
+# ---------------------------------------------------------------------------
+
+def _q_lww_window(spark, sf):
+    ev = _load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+_SQL_LWW = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       value AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+      FROM events) t
+WHERE rn = 1
+"""
+
+
+def _q_lww_agg(spark, sf):
+    ev = _load(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by(F.struct("event_id", "event_type", "value"), F.col("event_id")).alias("r"))
+        .select(
+            "user_id",
+            F.col("r.event_id").alias("last_event_id"),
+            F.col("r.event_type").alias("last_event_type"),
+            F.col("r.value").alias("last_value"),
+        )
+    )
+
+
+def _q_merge_apply(spark, sf):
+    ev = _load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "purchase"))
+        .select("user_id", F.col("event_id").alias("last_event_id"),
+                F.col("value").alias("last_value"))
+    )
+
+
+def _q_mask_merge(spark, sf):
+    ev = _load(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("max_by(value, event_id) FILTER (WHERE event_type <> 'error')").alias("merged_value"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+def _q_pk_split(spark, sf):
+    ev = _load(spark, sf, "events").filter(F.col("event_type") == "signup")
+    pair = F.array(
+        F.struct(F.lit("D").alias("op")), F.struct(F.lit("I").alias("op"))
+    )
+    return ev.select("event_id", "user_id", F.explode(pair).alias("e")).select(
+        "event_id", "user_id", F.col("e.op").alias("op")
+    )
+
+
+def _q_schema_dedup(spark, sf):
+    ev = _load(spark, sf, "events")
+    return ev.groupBy("user_id", "event_type").agg(F.min("event_id").alias("first_seen"))
+
+
+def _q_metrics(spark, sf):
+    ev = _load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_lsn"),
+        F.max("event_id").alias("max_lsn"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
+
+
+def _q_watermark(spark, sf):
+    ev = _load(spark, sf, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("min_lsn"),
+        F.max("event_id").alias("max_lsn"),
+    )
+
+
+def _q_range_scan(spark, sf):
+    ev = _load(spark, sf, "events")
+    return ev.filter(
+        (F.col("event_id") > 2000) & (F.col("event_id") <= 5000)
+        & F.col("event_type").isin("click", "view")
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+def _q_sort_barrier(spark, sf):
+    ev = _load(spark, sf, "events")
+    kind = F.when(F.col("event_type") == "signup", 0).otherwise(1)
+    return (
+        ev.select("event_id", "user_id", "event_type", kind.alias("barrier"))
+        .orderBy("barrier", "event_id")
+        .limit(200)
+    )
+
+
+def _q_union(spark, sf):
+    ev = _load(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.lit("ddl").alias("kind")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.lit("dml").alias("kind")
+    )
+    return a.unionByName(b)
+
+
+def _q_hot_keys(spark, sf):
+    ev = _load(spark, sf, "events")
+    return (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+def _q_epoch_lineage(spark, sf):
+    ev = _load(spark, sf, "events")
+    epoch = F.floor(F.col("event_id") / F.lit(1000.0)).cast("long").alias("epoch")
+    return (
+        ev.select(epoch, "event_id", "event_type")
+        .groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_lsn"),
+            F.max("event_id").alias("max_lsn"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_delete"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def _q_doc_fingerprint(spark, sf):
+    from cdc_spark.functions.text import fingerprint
+
+    d = _load(spark, sf, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_doc_exact_dedup(spark, sf):
+    d = _load(spark, sf, "documents")
+    return d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+
+
+def _q_doc_token_count(spark, sf):
+    from cdc_spark.functions.text import token_count
+
+    d = _load(spark, sf, "documents")
+    return d.select("doc_id", token_count(F.col("text")).cast("long").alias("n_words"))
+
+
+def _q_doc_quality(spark, sf):
+    from cdc_spark.functions.text import quality_metrics
+
+    d = _load(spark, sf, "documents")
+    out = quality_metrics(d)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "avg_word_len", "stopword_ratio", "punct_ratio", "quality_ok",
+    )
+
+
+def _q_doc_lang_id(spark, sf):
+    from cdc_spark.functions.text import lang_id
+
+    d = _load(spark, sf, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def _q_emb_norm(spark, sf):
+    from cdc_spark.functions.similarity import l2_norm
+
+    e = _load(spark, sf, "embeddings")
+    return e.select("vec_id", F.round(l2_norm(F.col("embedding")), 4).alias("l2_norm"))
+
+
+def _query_vec(spark, sf) -> list[float]:
+    e = _load(spark, sf, "embeddings")
+    return [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def _q_emb_topk(spark, sf):
+    from cdc_spark.functions.similarity import brute_force_topk
+
+    e = _load(spark, sf, "embeddings")
+    return brute_force_topk(e, _query_vec(spark, sf), k=10)
+
+
+def _q_emb_topk_lsh(spark, sf):
+    from cdc_spark.functions.similarity import lsh_topk
+
+    e = _load(spark, sf, "embeddings")
+    return lsh_topk(e, _query_vec(spark, sf), k=10)
+
+
+def _q_replay_final(spark, sf):
+    df = _replay_flagship(spark, sf, n_events=10_000)
+    # token arrays hashed as their sum+len to keep the rows-only check light
+    return df.select(
+        "doc_id", "n_tok", "source", "last_lsn",
+        F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tokens_sum"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ the
+    training-data ops the 100-TB pipeline needs)."""
+    return {
+        # CDC operators (§2) over the events table
+        "cdc_lww_dedupe_window": _q_lww_window,      # O3 (window form)
+        "cdc_lww_dedupe_agg": _q_lww_agg,            # O3 (max_by partial-agg form)
+        "cdc_merge_apply": _q_merge_apply,           # K4/K5 final-state semantics
+        "cdc_missing_mask_merge": _q_mask_merge,     # T7 before-image fill analogue
+        "cdc_pk_change_split": _q_pk_split,          # T8 1→2 expansion
+        "cdc_schema_dedup": _q_schema_dedup,         # T2 first-seen dedupe
+        "cdc_metrics_agg": _q_metrics,               # lineage counts (F3)
+        "cdc_offset_watermark": _q_watermark,        # S6 offset range
+        "cdc_range_scan": _q_range_scan,             # S2 lsn-range scan w/ pushdown
+        "cdc_sort_barrier": _q_sort_barrier,         # O2 DDL-before-DML ordering
+        "cdc_union": _q_union,                       # O1 DDL∪DML
+        "cdc_hot_keys": _q_hot_keys,                 # §4.3 skew histogram
+        "cdc_epoch_lineage": _q_epoch_lineage,       # F3 per-epoch lineage
+        # training-data pipeline ops
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "emb_l2_norm": _q_emb_norm,
+        "emb_cosine_topk": _q_emb_topk,
+        # non-SQL-expressible (rows-only checks)
+        "emb_cosine_topk_lsh": _q_emb_topk_lsh,
+        "cdc_replay_final_state": _q_replay_final,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = lambda w: f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t = '{w}'))"  # noqa: E731
+    langs = {
+        "en": "(t = 'the' OR t = 'and')",
+        "de": "(t = 'der' OR t = 'und')",
+        "fr": "(t = 'le' OR t = 'et')",
+        "es": "(t = 'el' OR t = 'y')",
+    }
+    lang_counts = ", ".join(
+        f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> {cond})) AS s_{l}"
+        for l, cond in langs.items()
+    )
+    return {
+        "cdc_lww_dedupe_window": _SQL_LWW,
+        "cdc_lww_dedupe_agg": _SQL_LWW,
+        "cdc_merge_apply": """
+            SELECT user_id, event_id AS last_event_id, value AS last_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+                  FROM events) t
+            WHERE rn = 1 AND event_type <> 'purchase'
+        """,
+        "cdc_missing_mask_merge": """
+            SELECT user_id,
+                   arg_max(value, event_id) FILTER (WHERE event_type <> 'error') AS merged_value,
+                   max(event_id) AS last_event_id
+            FROM events GROUP BY user_id
+        """,
+        "cdc_pk_change_split": """
+            SELECT event_id, user_id, 'D' AS op FROM events WHERE event_type = 'signup'
+            UNION ALL
+            SELECT event_id, user_id, 'I' AS op FROM events WHERE event_type = 'signup'
+        """,
+        "cdc_schema_dedup": """
+            SELECT user_id, event_type, min(event_id) AS first_seen
+            FROM events GROUP BY user_id, event_type
+        """,
+        "cdc_metrics_agg": """
+            SELECT event_type, count(*) AS n_events, min(event_id) AS min_lsn,
+                   max(event_id) AS max_lsn, round(sum(value), 3) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "cdc_offset_watermark": """
+            SELECT count(*) AS n_events, min(event_id) AS min_lsn, max(event_id) AS max_lsn
+            FROM events
+        """,
+        "cdc_range_scan": """
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE event_id > 2000 AND event_id <= 5000 AND event_type IN ('click', 'view')
+        """,
+        "cdc_sort_barrier": """
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS barrier
+            FROM events
+            ORDER BY barrier, event_id
+            LIMIT 200
+        """,
+        "cdc_union": """
+            SELECT event_id, user_id, 'ddl' AS kind FROM events WHERE event_type = 'signup'
+            UNION ALL
+            SELECT event_id, user_id, 'dml' AS kind FROM events WHERE event_type = 'purchase'
+        """,
+        "cdc_hot_keys": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10
+        """,
+        "cdc_epoch_lineage": """
+            SELECT CAST(floor(event_id / 1000.0) AS BIGINT) AS epoch,
+                   count(*) AS n_events, min(event_id) AS min_lsn, max(event_id) AS max_lsn,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+            FROM events GROUP BY 1
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "doc_exact_dedup": """
+            SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "doc_token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words
+            FROM documents
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   round((len(trim(text)) - (n_words - 1)) / n_words, 4) AS avg_word_len,
+                   round({sw('the')} / n_words, 4) AS stopword_ratio,
+                   round((len(text) - len(replace(replace(text, '.', ''), ',', ''))) * 1.0 / len(text), 4) AS punct_ratio,
+                   (n_words >= 5
+                    AND (len(trim(text)) - (n_words - 1)) / n_words >= 2.0
+                    AND (len(trim(text)) - (n_words - 1)) / n_words <= 12.0) AS quality_ok
+            FROM (SELECT *, len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+                  FROM documents) d
+        """,
+        "doc_lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                        ELSE 'unk' END AS pred_lang
+            FROM (SELECT doc_id, {lang_counts} FROM documents) s
+        """,
+        "emb_l2_norm": """
+            SELECT vec_id,
+                   round(sqrt(list_aggregate(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       'sum')), 4) AS l2_norm
+            FROM embeddings
+        """,
+        "emb_cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT e.vec_id,
+                       round(
+                         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))),
+                       4) AS cos_sim
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        # emb_cosine_topk_lsh, cdc_replay_final_state: rows-only (non-SQL ops)
+    }

@@ -1,0 +1,109 @@
+"""Text-analysis functions for the training-data pipeline.
+
+All pure Catalyst column expressions (JVM-side, whole-stage codegen) —
+no Python in the hot path. Each has an exact ANSI-SQL twin used as the
+DuckDB oracle in __spark_entry__.py, so expressions are deliberately
+written from primitives (split/filter/length) that behave identically
+in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword marker lists (heuristic language ID).
+LANG_MARKERS = {
+    "en": ("the", "and"),
+    "de": ("der", "und"),
+    "fr": ("le", "et"),
+    "es": ("el", "y"),
+}
+
+
+def word_array(text: Column) -> Column:
+    """Whitespace tokenization (the baseline token counter)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(word_array(text))
+
+
+def word_occurrences(text: Column, word: str) -> Column:
+    """Exact-token occurrence count (not substring)."""
+    return F.size(F.filter(word_array(text), lambda w: w == F.lit(word)))
+
+
+def stopword_count(text: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(word_array(text), lambda t: _in(t, words)))
+
+
+def _in(tok: Column, words: tuple[str, ...]) -> Column:
+    out = F.lit(False)
+    for w in words:
+        out = out | (tok == F.lit(w))
+    return out
+
+
+def punct_count(text: Column) -> Column:
+    """Periods+commas via length-difference (portable to ANSI SQL)."""
+    stripped = F.replace(F.replace(text, F.lit("."), F.lit("")), F.lit(","), F.lit(""))
+    return F.length(text) - F.length(stripped)
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/stopword/punct quality signals + a composite keep-flag
+    (the classic pre-training quality filter shape)."""
+    t = F.col(text_col)
+    out = df.withColumn("n_words", token_count(t))
+    out = out.withColumn(
+        "avg_word_len",
+        F.round((F.length(F.trim(t)) - (F.col("n_words") - 1)) / F.col("n_words"), 4),
+    )
+    out = out.withColumn(
+        "stopword_ratio",
+        F.round(word_occurrences(t, "the") / F.col("n_words"), 4),
+    )
+    out = out.withColumn("punct_ratio", F.round(punct_count(t) / F.length(t), 4))
+    return out.withColumn(
+        "quality_ok",
+        (F.col("n_words") >= 5)
+        & (F.col("avg_word_len") >= 2.0)
+        & (F.col("avg_word_len") <= 12.0),
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: _in_count(text, markers) for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def _in_count(text: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(word_array(text), lambda t: _in(t, words)))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of marker-token counts, 'unk' when all zero; ties resolved
+    by fixed precedence en>de>fr>es (mirrored exactly in the SQL twin)."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    out = F.lit("unk")
+    for lang in ("es", "fr", "de", "en"):  # later wins ties -> en highest precedence
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (md5 — identical in DuckDB)."""
+    return F.md5(text)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as space-joined strings (distinct)."""
+    arr = word_array(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i + 1, k)))
+    )
