@@ -283,6 +283,114 @@ def _q_emb_topk_lsh(spark, sf):
     return lsh_topk(e, _query_vec(spark, sf), k=10)
 
 
+def _docs_with_variants(spark, sf) -> DataFrame:
+    """documents ∪ a deterministic near-dup variant of each doc (first
+    word dropped, doc_id offset by 1,000,000) — gives the near-dup
+    operators real positives to find on purely synthetic data. The SQL
+    twin is _SQL_DOC_VARIANTS."""
+    d = _load(spark, sf, "documents").select("doc_id", "text")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    variant = d.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0)))).alias("text"),
+    )
+    return d.unionByName(variant)
+
+
+_SQL_DOC_VARIANTS = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string((regexp_split_to_array(trim(text), '\\s+'))[2:], ' ') AS text
+    FROM documents
+"""
+
+
+def _q_minhash_dedup(spark, sf):
+    from cdc_spark.functions.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_docs_with_variants(spark, sf))
+
+
+def _q_simhash(spark, sf):
+    from cdc_spark.functions.dedup import simhash
+
+    d = _load(spark, sf, "documents")
+    return d.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+def _q_ngram_jaccard(spark, sf):
+    from cdc_spark.functions.dedup import jaccard_pairs
+
+    return jaccard_pairs(_docs_with_variants(spark, sf), threshold=0.5)
+
+
+def _q_rolling_fp(spark, sf):
+    from cdc_spark.functions.dedup import rolling_fingerprint
+
+    d = _load(spark, sf, "documents")
+    return d.select("doc_id", rolling_fingerprint(F.col("text")).alias("rolling_fp"))
+
+
+_BPE_PATTERN = "[A-Za-z0-9_]+|[^A-Za-z0-9_ ]"
+
+
+def _q_bpe_tokens(spark, sf):
+    d = _load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0)))
+        .cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def _q_emb_near_dup_exact(spark, sf):
+    from cdc_spark.functions.similarity import cosine
+
+    e = _load(spark, sf, "embeddings").select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+    )
+
+
+def _q_emb_near_dup_lsh(spark, sf):
+    from cdc_spark.functions.similarity import all_pairs_above
+
+    e = _load(spark, sf, "embeddings")
+    return all_pairs_above(e, threshold=0.4)
+
+
+def _q_media_features(spark, sf):
+    from cdc_spark.functions.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(_load(spark, sf, "documents"))
+    out = extract_features(media, fake=True)
+    return out.select(
+        "asset_id", "media_type", "n_bytes",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+def _q_media_frame_sample(spark, sf):
+    from cdc_spark.functions.multimodal import documents_as_media, frame_sample
+
+    media = documents_as_media(_load(spark, sf, "documents"), media_type="video")
+    out = frame_sample(media, every_n=30, fake=True)
+    return out.select(
+        "asset_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
+    )
+
+
 def _q_replay_final(spark, sf):
     df = _replay_flagship(spark, sf, n_events=10_000)
     # token arrays hashed as their sum+len to keep the rows-only check light
@@ -316,15 +424,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
+        "doc_minhash_dedup": _q_minhash_dedup,
+        "doc_simhash": _q_simhash,
+        "doc_ngram_jaccard": _q_ngram_jaccard,
+        "doc_rolling_fp": _q_rolling_fp,
+        "doc_bpe_tokens": _q_bpe_tokens,
         "emb_l2_norm": _q_emb_norm,
         "emb_cosine_topk": _q_emb_topk,
-        # non-SQL-expressible (rows-only checks)
+        "emb_near_dup_exact": _q_emb_near_dup_exact,
+        "media_features": _q_media_features,
+        "media_frame_sample": _q_media_frame_sample,
+        # non-SQL-expressible / approximate (rows-only checks)
         "emb_cosine_topk_lsh": _q_emb_topk_lsh,
+        "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "cdc_replay_final_state": _q_replay_final,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from cdc_spark.functions.dedup import sql_rolling_fingerprint, sql_simhash_query
+
     sw = lambda w: f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t = '{w}'))"  # noqa: E731
     langs = {
         "en": "(t = 'the' OR t = 'and')",
@@ -446,5 +565,67 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
         """,
-        # emb_cosine_topk_lsh, cdc_replay_final_state: rows-only (non-SQL ops)
+        "doc_minhash_dedup": _sql_minhash_pairs_over_variants(),
+        "doc_simhash": sql_simhash_query(),
+        "doc_ngram_jaccard": _sql_jaccard_over_variants(),
+        "doc_rolling_fp": f"""
+            SELECT doc_id, {sql_rolling_fingerprint("text")} AS rolling_fp
+            FROM documents
+        """,
+        "doc_bpe_tokens": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "emb_near_dup_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                   4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                   4) >= 0.4
+        """,
+        "media_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   'image' AS media_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+                   CAST(16 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height
+            FROM documents
+        """,
+        "media_frame_sample": """
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   CAST(u.idx AS BIGINT) AS frame_idx,
+                   CAST(u.idx * 33 AS BIGINT) AS ts_ms
+            FROM (SELECT doc_id, 1 + octet_length(encode(text)) % 240 AS nf FROM documents) t,
+                 UNNEST(range(0, nf, 30)) AS u(idx)
+        """,
+        # emb_cosine_topk_lsh, emb_near_dup_lsh (approximate) and
+        # cdc_replay_final_state (full engine replay): rows-only
     }
+
+
+def _with_variants(sql: str) -> str:
+    """Prepend the docs_v CTE to a generated query that itself starts
+    with WITH — merge into one WITH clause."""
+    body = sql.lstrip()
+    assert body.startswith("WITH "), body[:40]
+    return f"WITH docs_v AS ({_SQL_DOC_VARIANTS}), " + body[len("WITH "):]
+
+
+def _sql_minhash_pairs_over_variants() -> str:
+    from cdc_spark.functions.dedup import sql_minhash_pairs
+
+    return _with_variants(sql_minhash_pairs(table="docs_v"))
+
+
+def _sql_jaccard_over_variants() -> str:
+    from cdc_spark.functions.dedup import sql_jaccard_pairs
+
+    return _with_variants(sql_jaccard_pairs(table="docs_v", threshold=0.5))

@@ -1,0 +1,117 @@
+"""bench.py — headline benchmark (driver-run per round).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries":
+{name: sec}, "sf", ...extras}.
+
+Two parts:
+  1. `cdc_replay` — the flagship end-to-end path (synthetic binlog →
+     normalize → LWW dedupe → exactly-once snapshot merge), reported
+     both as seconds and change-events/sec (the BASELINE.json metric;
+     the reference's implied ceiling is ~1,000 events/sec — see
+     BASELINE.md).
+  2. A representative subset of the driver-contract queries
+     (__spark_entry__.queries()) — each timed to full materialization
+     via the noop sink (no collect; measures the distributed plan, not
+     driver serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EVENTS = int(os.environ.get("CDC_BENCH_EVENTS", "200000"))
+N_DOCS = int(os.environ.get("CDC_BENCH_DOCS", "20000"))
+EPOCH = int(os.environ.get("CDC_BENCH_EPOCH", "20000"))
+
+#: contract queries worth timing at sf0.1 (skip the tiny/driver-bound ones)
+HEADLINE = [
+    "cdc_lww_dedupe_agg",
+    "cdc_lww_dedupe_window",
+    "cdc_merge_apply",
+    "cdc_missing_mask_merge",
+    "cdc_metrics_agg",
+    "cdc_range_scan",
+    "cdc_epoch_lineage",
+    "doc_exact_dedup",
+    "doc_quality",
+    "doc_lang_id",
+    "doc_minhash_dedup",
+    "doc_simhash",
+    "doc_ngram_jaccard",
+    "emb_cosine_topk",
+    "emb_cosine_topk_lsh",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from cdc_spark.session import get_spark
+
+    spark = get_spark(app="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    queries: dict[str, float] = {}
+
+    # -- 1. flagship end-to-end CDC replay ---------------------------------
+    from cdc_spark.genlog import GenConfig, write_binlog
+    from cdc_spark.streaming.pipeline import replay
+
+    work = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        cfg = GenConfig(n_events=N_EVENTS, n_docs=N_DOCS, events_per_epoch=EPOCH, seed=42)
+        write_binlog(cfg, f"{work}/binlog")  # generation excluded from timing
+        t0 = time.monotonic()
+        table = replay(spark, f"{work}/binlog", f"{work}/table", lineage=False)
+        final_rows = table.read_resolved(spark).count()
+        replay_sec = time.monotonic() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    queries["cdc_replay"] = round(replay_sec, 3)
+    events_per_sec = N_EVENTS / replay_sec if replay_sec > 0 else None
+
+    # -- 2. contract queries ------------------------------------------------
+    qs = entrymod.queries()
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        try:
+            _materialize(fn(spark, SF_DIR))
+            queries[name] = round(time.monotonic() - t0, 3)
+        except Exception as e:  # a broken query shows as null, not a crash
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            queries[name] = None
+
+    total = round(sum(v for v in queries.values() if v is not None), 3)
+    print(json.dumps({
+        "metric": "total headline seconds (cdc replay + contract queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": CPUS,
+        "replay_events": N_EVENTS,
+        "replay_events_per_sec": round(events_per_sec, 1) if events_per_sec else None,
+        "replay_final_rows": final_rows,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

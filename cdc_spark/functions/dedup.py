@@ -1,0 +1,319 @@
+"""Near-duplicate detection for the training-data pipeline.
+
+Exact dedup (hash-groupBy) lives inline in __spark_entry__; this module
+adds the approximate family: MinHash+LSH, SimHash, and n-gram Jaccard —
+all as pure Catalyst column expressions (JVM codegen, no Python in the
+hot path), each with an exact ANSI-SQL twin so DuckDB can oracle them.
+
+Scale shape (the 100-TB reasoning, per operator):
+
+- **MinHash+LSH** (`minhash_signatures` → `band_hashes` →
+  `minhash_candidate_pairs`): signatures are a narrow O(rows) scan;
+  candidate generation is explode(bands) → shuffle by (band, hash) →
+  within-bucket self-join. Only same-bucket pairs materialize — the n²
+  never exists. Bucket skew (boilerplate docs) is bounded by banding:
+  identical docs share all bands but distinct near-dups spread across
+  buckets; a degenerate mega-bucket is capped upstream by exact-dedupe
+  first (identical texts collapse to one representative).
+- **SimHash** (`simhash`): one fingerprint per doc, O(bits·words)
+  inside codegen; near-dup lookup is a bit-count Hamming filter
+  (cheap JVM intrinsic) — pairs via same banding trick on bit chunks.
+- **n-gram Jaccard** (`jaccard_pairs`): blocking key = the minimum
+  shingle hash (1-band/1-row MinHash) → equi-join → exact Jaccard via
+  array_intersect/array_union on the survivors only.
+
+The shared cross-engine primitive is `str_hash60`: the first 15 hex
+chars of md5 as a non-negative bigint — md5 is bit-identical in Spark
+and DuckDB, and 60 bits fits signed int64 in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_spark.functions.text import shingles, word_array
+
+
+def str_hash60(c: Column) -> Column:
+    """Deterministic 60-bit string hash identical in Spark and DuckDB:
+    Spark `conv(substr(md5(s),1,15),16,10)` ≡ DuckDB
+    `('0x' || substr(md5(s),1,15))::BIGINT`."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def sql_hash60(expr: str) -> str:
+    """The DuckDB twin of str_hash60 for oracle generation."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+#: Mersenne prime 2^31-1: affine minhash families (a·h+b) mod P stay in
+#: int64 (a,h < 2^31 → a·h < 2^62) — no overflow in Spark OR DuckDB.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-family coefficients (a_j, b_j), a_j ≠ 0.
+    Fixed arithmetic (not RNG) so the SQL twin regenerates them exactly."""
+    return [
+        (((2 * j + 1) * 1_000_003 + 7) % MINHASH_P, (j * j * 40_503 + j + 41) % MINHASH_P)
+        for j in range(n_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k_shingle: int = 3, n_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures as (id, sig: array<long>), element j = min over
+    the doc's distinct word k-shingles of ((a_j·h(s) + b_j) mod P) — the
+    classic affine-permutation family over ONE base hash per shingle.
+
+    Plan shape (the 100-TB reasoning): explode(shingles) → one md5 per
+    shingle → groupBy(id) with 16 min() aggregates. min() partial-
+    aggregates map-side, so the shuffle carries one 16-number row per
+    doc per map partition — not the shingle stream. Compare the naive
+    form (16 array_min(transform(...md5...)) columns): 16× the hashing
+    and zero partial aggregation."""
+    sh = shingles(F.col(text_col), k_shingle)
+    ex = df.select(F.col(id_col), F.explode(sh).alias("_s")).select(
+        F.col(id_col), (str_hash60(F.col("_s")) % F.lit(MINHASH_P)).alias("_h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"_m{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    ]
+    return ex.groupBy(id_col).agg(*aggs).select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{j}") for j in range(n_hashes)]).alias("sig"),
+    )
+
+
+def band_hashes(sig: Column, n_hashes: int = 16, bands: int = 4) -> Column:
+    """LSH banding: split the signature into `bands` rows-per-band
+    groups; each band hashes to one bucket key. Docs agreeing on ANY
+    band become candidates."""
+    rows = n_hashes // bands
+    return F.array(*[
+        str_hash60(F.concat_ws(",", *[
+            F.element_at(sig, b * rows + r + 1).cast("string") for r in range(rows)
+        ]))
+        for b in range(bands)
+    ])
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k_shingle: int = 3, n_hashes: int = 16, bands: int = 4,
+) -> DataFrame:
+    sigs = minhash_signatures(df, text_col, id_col, k_shingle, n_hashes)
+    return sigs.withColumn("band", band_hashes(F.col("sig"), n_hashes, bands))
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k_shingle: int = 3, n_hashes: int = 16, bands: int = 4,
+) -> DataFrame:
+    """Distinct candidate near-dup pairs from LSH banding, scored by the
+    signature-estimated Jaccard (fraction of agreeing minhashes).
+
+    Plan: scan → explode(bands) → shuffle by (band_idx, bucket) →
+    in-bucket self-join → distinct pairs. No all-pairs product."""
+    m = with_minhash(df, text_col, id_col, k_shingle, n_hashes, bands)
+    e = m.select(
+        id_col, "sig", F.posexplode("band").alias("band_idx", "bucket")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, on=["band_idx", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(n_hashes)
+    )
+    return pairs.select("id_a", "id_b", F.round(est, 4).alias("est_jaccard"))
+
+
+def sql_minhash_pairs(
+    k_shingle: int = 3, n_hashes: int = 16, bands: int = 4,
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of minhash_candidate_pairs (oracle generator)."""
+    rows = n_hashes // bands
+    words = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    sh = (
+        f"list_distinct(list_transform(generate_series(0, greatest(len({words}) - {k_shingle}, 0)), "
+        f"i -> array_to_string(({words})[i+1:i+{k_shingle}], ' ')))"
+    )
+    sig_aggs = ", ".join(
+        f"min(({a} * h + {b_}) % {MINHASH_P})"
+        for a, b_ in minhash_coeffs(n_hashes)
+    )
+    band_elems = ", ".join(
+        sql_hash60(
+            " || ',' || ".join(f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
+        )
+        for b in range(bands)
+    )
+    band_idx_values = ", ".join(f"({b})" for b in range(bands))
+    return f"""
+        WITH ex AS (
+          SELECT {id_col}, ({sql_hash60('u.s')} % {MINHASH_P}) AS h
+          FROM (SELECT {id_col}, {sh} AS sh FROM {table}) t0, UNNEST(sh) AS u(s)
+        ),
+        m AS (
+          SELECT {id_col}, sig, [{band_elems}] AS bands
+          FROM (SELECT {id_col}, [{sig_aggs}] AS sig FROM ex GROUP BY {id_col}) t
+        ),
+        e AS (
+          SELECT {id_col}, sig, b.band_idx, bands[b.band_idx + 1] AS bucket
+          FROM m CROSS JOIN (VALUES {band_idx_values}) b(band_idx)
+        )
+        SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
+               round(len(list_filter(range(1, {n_hashes} + 1), i -> a.sig[i] = b.sig[i]))
+                     / {n_hashes}.0, 4) AS est_jaccard
+        FROM e a JOIN e b ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+                          AND a.{id_col} < b.{id_col}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint over word hashes: bit i is set when at least
+    half the doc's words have bit i set in their 60-bit hash. One pass
+    over the word-hash array per bit, all inside codegen."""
+    hashes = F.transform(word_array(text), str_hash60)
+    n = F.size(hashes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        cnt = _count_bit_set(hashes, 1 << i)
+        bit = F.when(cnt * 2 >= n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def _count_bit_set(hashes: Column, mask: int) -> Column:
+    m = F.lit(mask)
+    return F.size(F.filter(hashes, lambda h: h.bitwiseAND(m) != 0))
+
+
+def sql_simhash_query(
+    bits: int = 32, table: str = "documents",
+    text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of simhash as a full statement (oracle generator);
+    the word-hash list is computed once in a subquery, then summed
+    bit-by-bit — same structure as the Spark expression."""
+    words = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    h = sql_hash60("w")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << i}) <> 0)) >= len(hs) "
+        f"THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+        SELECT {id_col}, {terms} AS simhash
+        FROM (SELECT {id_col}, list_transform({words}, w -> {h}) AS hs FROM {table}) t
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard with min-hash blocking
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k_shingle: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, blocked by minimum shingle
+    hash (each doc lands in exactly ONE bucket → equi-join, no n²);
+    recall is that of 1-row/1-band MinHash — pairs with Jaccard ≥ t are
+    caught with probability ≥ t. Survivors get exact
+    |∩|/|∪| on their distinct shingle sets."""
+    sh = shingles(F.col(text_col), k_shingle)
+    blocked = df.select(
+        F.col(id_col), sh.alias("sh"),
+        F.array_min(F.transform(sh, str_hash60)).alias("block"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = a.join(b, on="block").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    jac = (
+        F.size(F.array_intersect("a.sh", "b.sh"))
+        / F.size(F.array_union("a.sh", "b.sh"))
+    )
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def sql_jaccard_pairs(
+    k_shingle: int = 3, threshold: float = 0.5,
+    table: str = "documents", text_col: str = "text", id_col: str = "doc_id",
+) -> str:
+    words = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    sh = (
+        f"list_distinct(list_transform(generate_series(0, greatest(len({words}) - {k_shingle}, 0)), "
+        f"i -> array_to_string(({words})[i+1:i+{k_shingle}], ' ')))"
+    )
+    return f"""
+        WITH blocked AS (
+          SELECT {id_col}, sh,
+                 list_min(list_transform(sh, s -> {sql_hash60('s')})) AS block
+          FROM (SELECT {id_col}, {sh} AS sh FROM {table}) t
+        ),
+        pairs AS (
+          SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+                 round(len(list_intersect(a.sh, b.sh))
+                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+                       , 4) AS jaccard
+          FROM blocked a JOIN blocked b
+            ON a.block = b.block AND a.{id_col} < b.{id_col}
+        )
+        SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash document fingerprint
+# ---------------------------------------------------------------------------
+
+def rolling_fingerprint(text: Column, mod: int = 1_000_000_007, mult: int = 31) -> Column:
+    """Order-sensitive polynomial rolling hash over word hashes
+    (h = (h*31 + hash(w)) mod p). Unlike md5-of-text, insensitive to
+    whitespace normalization; modular arithmetic keeps every
+    intermediate in int64 range in both engines (DuckDB raises on
+    bigint overflow, Spark wraps — neither path is ever hit)."""
+    hs = F.transform(word_array(text), lambda w: str_hash60(w) % F.lit(mod))
+    return F.aggregate(
+        hs, F.lit(0).cast("long"),
+        lambda acc, x: (acc * mult + x) % F.lit(mod),
+    )
+
+
+def sql_rolling_fingerprint(expr: str, mod: int = 1_000_000_007, mult: int = 31) -> str:
+    words = f"regexp_split_to_array(trim({expr}), '\\s+')"
+    h = f"({sql_hash60('w')} % {mod})"
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform({words}, w -> {h})), "
+        f"(acc, x) -> (acc * {mult} + x) % {mod})"
+    )

@@ -1,0 +1,108 @@
+"""Unit tests for the near-dup family (functions.dedup) and the
+multimodal plumbing (functions.multimodal)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cdc_spark.functions.dedup import (
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    minhash_coeffs,
+    minhash_signatures,
+    rolling_fingerprint,
+    simhash,
+)
+from cdc_spark.functions.multimodal import (
+    decode_image,
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "a quick brown fox jumps over the lazy dog again and again today"
+OTHER = "completely different words about databases and distributed query engines"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)], ["doc_id", "text"]
+    )
+
+
+def test_minhash_identical_docs_full_agreement(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[4]
+    assert len(sigs[1]) == 16
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_candidates_find_near_dups_not_unrelated(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_candidate_pairs(docs).collect()}
+    assert pairs[(1, 4)] == 1.0  # identical docs agree on every hash
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup caught by some band
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_minhash_coeffs_deterministic_nonzero():
+    cs = minhash_coeffs(16)
+    assert cs == minhash_coeffs(16)
+    assert all(a != 0 for a, _ in cs)
+    assert len(set(cs)) == 16
+
+
+def test_simhash_hamming_reflects_similarity(docs, spark):
+    out = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert out[1] == out[4]
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_jaccard_pairs_exact_values(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.0).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert 0.5 < pairs[(1, 2)] < 1.0
+    # unrelated doc shares no min-shingle block -> never compared
+    assert not any(3 in p for p in pairs)
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha  beta   gamma")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["fp"] for r in df.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert out[1] != out[2]  # order matters
+    assert out[1] == out[3]  # whitespace-normalization invariant
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
+    assert decode_image(b"x" * 100, fake=True) == {"width": 16 + 36, "height": 16 + 1}
+
+
+def test_extract_features_shapes(docs):
+    media = documents_as_media(docs)
+    out = {r["asset_id"]: r for r in extract_features(media, fake=True).collect()}
+    assert len(out) == 4
+    r = out["1"]
+    assert r["n_bytes"] == len(BASE.encode())
+    assert r["width"] == 16 + r["n_bytes"] % 64
+    assert r["n_frames"] is None  # image has no frames
+
+
+def test_frame_sample_expansion(docs):
+    media = documents_as_media(docs, media_type="video")
+    rows = frame_sample(media, every_n=10, fake=True).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    n = len(BASE.encode())
+    expect_frames = 1 + n % 240
+    got = sorted(r["frame_idx"] for r in by_asset["1"])
+    assert got == list(range(0, expect_frames, 10))
+    assert all(r["ts_ms"] == r["frame_idx"] * 33 for r in rows)
