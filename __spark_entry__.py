@@ -313,10 +313,9 @@ def _q_minhash_dedup(spark, sf):
 
 
 def _q_simhash(spark, sf):
-    from cdc_spark.functions.dedup import simhash
+    from cdc_spark.functions.dedup import simhash_signatures
 
-    d = _load(spark, sf, "documents")
-    return d.select("doc_id", simhash(F.col("text")).alias("simhash"))
+    return simhash_signatures(_load(spark, sf, "documents"))
 
 
 def _q_ngram_jaccard(spark, sf):

@@ -212,6 +212,33 @@ def _count_bit_set(hashes: Column, mask: int) -> Column:
     return F.size(F.filter(hashes, lambda h: h.bitwiseAND(m) != 0))
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32,
+) -> DataFrame:
+    """SimHash as (id, simhash) via explode → partial aggregation — the
+    at-scale form of `simhash`. The column-expression form re-evaluates
+    the word-hash array once per bit (CollapseProject inlines it ×bits,
+    and higher-order functions run interpreted, outside codegen); here
+    each word is md5-hashed exactly once and the 32 bit-counters are
+    map-side-combining sum() aggregates, so the shuffle carries one
+    33-number row per doc per map partition. Tests pin the two forms
+    equal."""
+    ex = df.select(F.col(id_col), F.explode(word_array(F.col(text_col))).alias("_w")).select(
+        F.col(id_col), str_hash60(F.col("_w")).alias("_h")
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    agged = ex.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(
+            F.col(f"_b{i}") * 2 >= F.col("_n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agged.select(F.col(id_col), sig.alias("simhash"))
+
+
 def sql_simhash_query(
     bits: int = 32, table: str = "documents",
     text_col: str = "text", id_col: str = "doc_id",
@@ -220,15 +247,20 @@ def sql_simhash_query(
     the word-hash list is computed once in a subquery, then summed
     bit-by-bit — same structure as the Spark expression."""
     words = f"regexp_split_to_array(trim({text_col}), '\\s+')"
-    h = sql_hash60("w")
+    h = sql_hash60("u.w")
+    bit_aggs = ", ".join(f"sum((h >> {i}) & 1) AS b{i}" for i in range(bits))
     terms = " + ".join(
-        f"(CASE WHEN 2 * len(list_filter(hs, h -> (h & {1 << i}) <> 0)) >= len(hs) "
-        f"THEN {1 << i}::BIGINT ELSE 0 END)"
+        f"(CASE WHEN 2 * b{i} >= n THEN {1 << i}::BIGINT ELSE 0::BIGINT END)"
         for i in range(bits)
     )
     return f"""
         SELECT {id_col}, {terms} AS simhash
-        FROM (SELECT {id_col}, list_transform({words}, w -> {h}) AS hs FROM {table}) t
+        FROM (
+          SELECT {id_col}, count(*) AS n, {bit_aggs}
+          FROM (SELECT {id_col}, {h} AS h
+                FROM (SELECT {id_col}, {words} AS ws FROM {table}) t0, UNNEST(ws) AS u(w)) t1
+          GROUP BY {id_col}
+        ) t2
     """
 
 
@@ -245,16 +277,24 @@ def jaccard_pairs(
     recall is that of 1-row/1-band MinHash — pairs with Jaccard ≥ t are
     caught with probability ≥ t. Survivors get exact
     |∩|/|∪| on their distinct shingle sets."""
+    # Same explode → partial-agg shape as minhash_signatures: one md5 per
+    # shingle, and the aggregation is a hard barrier so neither the
+    # self-join sides nor inferred isnotnull join-key filters re-evaluate
+    # the (interpreted, md5-heavy) shingle expression. Jaccard runs on
+    # the shingle-HASH sets — identical value modulo md5 collisions, and
+    # the join shuffles compact int64 arrays instead of string arrays.
     sh = shingles(F.col(text_col), k_shingle)
-    blocked = df.select(
-        F.col(id_col), sh.alias("sh"),
-        F.array_min(F.transform(sh, str_hash60)).alias("block"),
+    ex = df.select(F.col(id_col), F.explode(sh).alias("_s")).select(
+        F.col(id_col), str_hash60(F.col("_s")).alias("_h")
+    )
+    blocked = ex.groupBy(id_col).agg(
+        F.collect_set("_h").alias("hs"), F.min("_h").alias("block")
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     pairs = a.join(b, on="block").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     jac = (
-        F.size(F.array_intersect("a.sh", "b.sh"))
-        / F.size(F.array_union("a.sh", "b.sh"))
+        F.size(F.array_intersect("a.hs", "b.hs"))
+        / F.size(F.array_union("a.hs", "b.hs"))
     )
     return (
         pairs.select(
@@ -276,15 +316,18 @@ def sql_jaccard_pairs(
         f"i -> array_to_string(({words})[i+1:i+{k_shingle}], ' ')))"
     )
     return f"""
-        WITH blocked AS (
-          SELECT {id_col}, sh,
-                 list_min(list_transform(sh, s -> {sql_hash60('s')})) AS block
-          FROM (SELECT {id_col}, {sh} AS sh FROM {table}) t
+        WITH ex AS (
+          SELECT {id_col}, {sql_hash60('u.s')} AS h
+          FROM (SELECT {id_col}, {sh} AS sh FROM {table}) t0, UNNEST(sh) AS u(s)
+        ),
+        blocked AS (
+          SELECT {id_col}, list_distinct(list(h)) AS hs, min(h) AS block
+          FROM ex GROUP BY {id_col}
         ),
         pairs AS (
           SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
-                 round(len(list_intersect(a.sh, b.sh))
-                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+                 round(len(list_intersect(a.hs, b.hs))
+                       / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))::DOUBLE
                        , 4) AS jaccard
           FROM blocked a JOIN blocked b
             ON a.block = b.block AND a.{id_col} < b.{id_col}

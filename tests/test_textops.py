@@ -13,6 +13,7 @@ from cdc_spark.functions.dedup import (
     minhash_signatures,
     rolling_fingerprint,
     simhash,
+    simhash_signatures,
 )
 from cdc_spark.functions.multimodal import (
     decode_image,
@@ -59,6 +60,12 @@ def test_simhash_hamming_reflects_similarity(docs, spark):
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert out[1] == out[4]
     assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_simhash_agg_form_equals_expression_form(docs):
+    expr_form = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", simhash(F.col("text")).alias("sh")).collect()}
+    agg_form = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert expr_form == agg_form
 
 
 def test_jaccard_pairs_exact_values(docs):
