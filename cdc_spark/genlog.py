@@ -265,13 +265,28 @@ def generate_epoch(cfg: GenConfig, epoch: int) -> pa.Table:
     )
 
 
-def write_binlog(cfg: GenConfig, outdir: str) -> list[str]:
-    """Write one parquet segment per epoch; returns segment paths."""
+def write_binlog(cfg: GenConfig, outdir: str, parts: int = 1) -> list[str]:
+    """Write one epoch per segment; returns segment paths.
+
+    ``parts`` > 1 splits each epoch into that many contiguous-lsn part
+    files (`segment-EEEEE-pPPP.parquet`) — a real binlog feed arrives as
+    many files/partitions, and a single fat file caps the scan at one
+    input split (the reference's single-partition debt, S8/O3, is
+    exactly what our engine removes). Lexicographic file order remains
+    strict lsn order, so the oracle applier is unaffected."""
     os.makedirs(outdir, exist_ok=True)
     paths = []
     for e in range(cfg.n_epochs):
         t = generate_epoch(cfg, e)
-        p = os.path.join(outdir, f"segment-{e:05d}.parquet")
-        pq.write_table(t, p)
-        paths.append(p)
+        if parts <= 1:
+            p = os.path.join(outdir, f"segment-{e:05d}.parquet")
+            pq.write_table(t, p)
+            paths.append(p)
+            continue
+        n = t.num_rows
+        step = (n + parts - 1) // parts
+        for pi, lo in enumerate(range(0, n, step)):
+            p = os.path.join(outdir, f"segment-{e:05d}-p{pi:03d}.parquet")
+            pq.write_table(t.slice(lo, step), p)
+            paths.append(p)
     return paths

@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--epoch-size", type=int, default=10_000)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--zipf", type=float, default=1.2)
+    g.add_argument("--parts", type=int, default=1,
+                   help="part files per epoch segment (input-scan parallelism)")
 
     for name in ("replay", "stream"):
         r = sub.add_parser(name, help=f"{name} driver: binlog → target table")
@@ -67,7 +69,7 @@ def main(argv: list[str] | None = None) -> int:
             seed=args.seed, zipf_s=args.zipf,
         )
         t0 = time.monotonic()
-        paths = write_binlog(cfg, args.out)
+        paths = write_binlog(cfg, args.out, parts=args.parts)
         print(json.dumps({"segments": len(paths), "events": args.events,
                           "seconds": round(time.monotonic() - t0, 2)}))
         return 0

@@ -73,6 +73,7 @@ class TargetTable:
                     "delta_epochs": [],
                     "applied_ddl": [],
                     "epochs": [],
+                    "epoch_stats": {},
                 }
             )
 
@@ -106,6 +107,12 @@ class TargetTable:
 
     def has_epoch(self, epoch: int) -> bool:
         return epoch in self.state()["epochs"]
+
+    def epoch_stats(self, epoch: int) -> dict | None:
+        """(n_events, min_lsn, max_lsn) recorded when the epoch committed —
+        lets a redelivery be told apart from a PARTIAL delivery (an epoch
+        split across micro-batches by a file-source trigger limit)."""
+        return self.state().get("epoch_stats", {}).get(str(epoch))
 
     def has_ddl(self, ddl_id: str) -> bool:
         return ddl_id in self.state()["applied_ddl"]
@@ -206,26 +213,33 @@ class TargetTable:
 
     # -- write ----------------------------------------------------------------
 
-    def _write_bucketed(self, df: DataFrame, outdir: str) -> None:
+    def _write_bucketed(self, df: DataFrame, outdir: str, pre_partitioned: bool = False) -> None:
         """Repartition by doc_id hash (reference sink-side bucketing,
-        CDCKudu.java:226-228) so same-key rows co-locate across files."""
-        (
-            df.repartition(self.buckets, F.col("doc_id"))
-            .write.mode("overwrite")
-            .parquet(outdir)
-        )
+        CDCKudu.java:226-228) so same-key rows co-locate across files.
 
-    def commit_delta(self, df: DataFrame, epoch: int) -> dict | None:
+        `pre_partitioned=True` skips the exchange when the caller's plan
+        already hash-partitions by doc_id (the LWW dedupe aggregate does)
+        — one less shuffle per micro-batch."""
+        if not pre_partitioned:
+            df = df.repartition(self.buckets, F.col("doc_id"))
+        df.write.mode("overwrite").parquet(outdir)
+
+    def commit_delta(
+        self, df: DataFrame, epoch: int, stats: dict | None = None,
+        pre_partitioned: bool = False,
+    ) -> dict | None:
         """Append one micro-batch's deduped apply-rows; idempotent per epoch.
 
         df columns must match self.schema() (lsn already renamed last_lsn).
-        Returns the journal entry, or None if the epoch was already applied
-        (exactly-once re-delivery guard)."""
+        `stats` ({n_events, min_lsn, max_lsn} of the raw batch) is stored
+        for redelivery-vs-partial-delivery detection. Returns the journal
+        entry, or None if the epoch was already applied (exactly-once
+        re-delivery guard)."""
         st = self.state()
         if epoch in st["epochs"]:
             return None
         outdir = os.path.join(self.path, "delta", f"epoch={epoch:08d}")
-        self._write_bucketed(df, outdir)
+        self._write_bucketed(df, outdir, pre_partitioned=pre_partitioned)
         entry = self._commit(
             {
                 **st,
@@ -233,6 +247,8 @@ class TargetTable:
                 "kind": "delta",
                 "delta_epochs": st["delta_epochs"] + [epoch],
                 "epochs": st["epochs"] + [epoch],
+                "epoch_stats": {**st.get("epoch_stats", {}),
+                                **({str(epoch): stats} if stats else {})},
             }
         )
         if len(entry["delta_epochs"]) >= self.compact_every:

@@ -33,6 +33,9 @@ def run_replay(binlog: str, table: str, cores: int, zip_path: str) -> dict:
     proc = subprocess.run(
         [
             "spark-submit", "--master", f"local[{cores}]",
+            # session-builder memory conf is ignored under spark-submit
+            # (driver JVM already started) — must be a submit flag
+            "--driver-memory", os.environ.get("CDC_BENCH_DRIVER_MEM", "32g"),
             "--py-files", zip_path,
             os.path.join(REPO, "cdc_spark", "job.py"),
             "replay", "--binlog", binlog, "--table", table,
@@ -53,6 +56,11 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=200_000)
     ap.add_argument("--epoch-size", type=int, default=250_000)
     ap.add_argument("--n", type=int, default=8, help="small parallelism (large = 4n)")
+    ap.add_argument("--cores", default=None,
+                    help="comma list of core counts to sweep (overrides --n; "
+                         "efficiency reported for every (c, 4c) pair present)")
+    ap.add_argument("--parts", type=int, default=32,
+                    help="part files per epoch (input-scan splits ≥ 4n)")
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
@@ -72,54 +80,67 @@ def main() -> int:
             GenConfig(n_events=args.events, n_docs=args.docs,
                       events_per_epoch=args.epoch_size, seed=42),
             binlog,
+            parts=args.parts,
         )
 
+    core_list = (
+        [int(c) for c in args.cores.split(",")] if args.cores else [args.n, 4 * args.n]
+    )
     results = {}
-    for cores in (args.n, 4 * args.n):
+    for cores in core_list:
         r = run_replay(binlog, os.path.join(work, f"table_{cores}"), cores, zip_path)
         r["events_per_sec"] = round(args.events / r["seconds"], 1)
         results[cores] = r
         print(f"local[{cores}]: {r['seconds']}s → {r['events_per_sec']} events/s",
               file=sys.stderr)
 
-    lo, hi = results[args.n], results[4 * args.n]
-    eff = (hi["events_per_sec"] / lo["events_per_sec"]) / 4
+    effs = {
+        f"{c}->{4 * c}": round((results[4 * c]["events_per_sec"] / results[c]["events_per_sec"]) / 4, 3)
+        for c in core_list if 4 * c in results
+    }
+    rows_set = {r["final_rows"] for r in results.values()}
     summary = {
         "metric": "replay scaling efficiency (local[N] vs local[4N])",
-        "n": args.n,
         "events": args.events,
-        "throughput_n": lo["events_per_sec"],
-        "throughput_4n": hi["events_per_sec"],
-        "seconds_n": lo["seconds"],
-        "seconds_4n": hi["seconds"],
-        "efficiency": round(eff, 3),
-        "final_rows": hi["final_rows"],
-        "rows_match": lo["final_rows"] == hi["final_rows"],
+        "throughput": {c: results[c]["events_per_sec"] for c in core_list},
+        "seconds": {c: results[c]["seconds"] for c in core_list},
+        "efficiency": effs,
+        "rows_match": len(rows_set) == 1,
+        "final_rows": rows_set.pop(),
     }
 
+    table_rows = "\n".join(
+        f"| local[{c}] | {c} | {results[c]['seconds']} | {results[c]['events_per_sec']:,} |"
+        for c in core_list
+    )
+    eff_rows = "\n".join(f"- **{k} cores: {v}**" for k, v in effs.items())
+    min_tp = min(r["events_per_sec"] for r in results.values())
     bench_md = os.path.join(REPO, "BENCH.md")
     with open(bench_md, "w") as f:
         f.write(f"""# BENCH — scaling-efficiency evidence (north rule)
 
 Same job (`spark-submit --py-files cdc_spark.zip cdc_spark/job.py replay`),
 same input (seed-42 synthetic binlog, {args.events:,} change events over
-{args.docs:,} docs, {args.epoch_size:,}-event epochs), two parallelism
-levels — the sandbox stand-in for N vs 4N executors:
+{args.docs:,} docs, {args.epoch_size:,}-event epochs, {args.parts}
+part-files/epoch), swept over parallelism levels — the sandbox stand-in
+for N vs 4N executors:
 
 | parallelism | shuffle partitions | replay seconds | events/sec |
 |---|---|---|---|
-| local[{args.n}] | {args.n} | {lo['seconds']} | {lo['events_per_sec']:,} |
-| local[{4 * args.n}] | {4 * args.n} | {hi['seconds']} | {hi['events_per_sec']:,} |
+{table_rows}
 
-**Scaling efficiency = (throughput_4N / throughput_N) / 4 =
-{summary['efficiency']}** (target ≥ 0.8; final table states identical:
-{lo['final_rows']} rows both runs = {summary['rows_match']}).
+Scaling efficiency = (throughput_4N / throughput_N) / 4 (target ≥ 0.8):
+
+{eff_rows}
+
+Final table state identical across all runs: {summary['final_rows']}
+rows (match = {summary['rows_match']}).
 
 Reference context: the reference pipeline is hard-capped at 1 source
 partition × 1,000 records/sec (BASELINE.md) ≈ **1,000 events/sec** —
-both runs above exceed it by >{int(min(lo['events_per_sec'], hi['events_per_sec']) / 1000)}×.
+every run above exceeds it by >{int(min_tp / 1000)}×.
 
-Regenerate: `python tools/bench_scaling.py --events {args.events}`.
+Regenerate: `python tools/bench_scaling.py --events {args.events} --cores {",".join(str(c) for c in core_list)}`.
 """)
     print(json.dumps(summary))
     return 0
