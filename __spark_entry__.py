@@ -390,6 +390,49 @@ def _q_media_frame_sample(spark, sf):
     )
 
 
+def _q_enrich_broadcast(spark, sf):
+    """Dimension-enrichment join: fact orders against broadcast customer
+    and nation dims — the engine's broadcast-join surface (at 100 TB the
+    fact side streams, dims broadcast; no fact shuffle for the join)."""
+    o = _load(spark, sf, "orders")
+    c = _load(spark, sf, "customer")
+    n = _load(spark, sf, "nation")
+    # money summed as exact cents (longs) — double-sum association order
+    # differs between engines, so rounded double sums can hash-mismatch
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("sum_price_cents"),
+        )
+    )
+
+
+def _q_lineitem_pricing(spark, sf):
+    """TPC-H Q1-shaped wide aggregation over the largest table — the
+    map-side-combining groupBy Catalyst plans for free."""
+    li = _load(spark, sf, "lineitem")
+    # exact-integer sums (cents / 1e-4 units): per-row scalar doubles are
+    # bit-identical across engines, only aggregate association order is
+    # not — so round per row, sum longs
+    base_cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_e4 = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(base_cents).alias("sum_base_price_cents"),
+            F.sum(disc_e4).alias("sum_disc_price_e4"),
+            F.round(F.sum(F.col("l_quantity").cast("long")) / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
 def _q_replay_final(spark, sf):
     df = _replay_flagship(spark, sf, n_events=10_000)
     # token arrays hashed as their sum+len to keep the rows-only check light
@@ -433,6 +476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_exact": _q_emb_near_dup_exact,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
+        "enrich_broadcast_join": _q_enrich_broadcast,
+        "lineitem_pricing_agg": _q_lineitem_pricing,
         # non-SQL-expressible / approximate (rows-only checks)
         "emb_cosine_topk_lsh": _q_emb_topk_lsh,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
@@ -604,6 +649,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(u.idx * 33 AS BIGINT) AS ts_ms
             FROM (SELECT doc_id, 1 + octet_length(encode(text)) % 240 AS nf FROM documents) t,
                  UNNEST(range(0, nf, 30)) AS u(idx)
+        """,
+        "enrich_broadcast_join": """
+            SELECT n.n_name, count(*) AS n_orders,
+                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "lineitem_pricing_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
+                   round(sum(CAST(l_quantity AS BIGINT)) / count(*), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
         """,
         # emb_cosine_topk_lsh, emb_near_dup_lsh (approximate) and
         # cdc_replay_final_state (full engine replay): rows-only

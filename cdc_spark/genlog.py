@@ -123,20 +123,29 @@ def added_extras(cfg: GenConfig) -> list[tuple[int, str]]:
     return out
 
 
-def _list_from(offsets: np.ndarray, values: list | np.ndarray, vtype, null_rows: np.ndarray):
-    """ListArray with nulls at null_rows (null encoded as null offset)."""
-    off = offsets.tolist()
-    off_arr = [None if (i < len(null_rows) and null_rows[i]) else off[i] for i in range(len(off))]
-    # pyarrow interprets a null offset as a null list *entry i* (between
-    # offset i and i+1); the final offset must stay concrete.
-    off_list = []
-    for i in range(len(off)):
-        if i < len(null_rows) and null_rows[i]:
-            off_list.append(None)
-        else:
-            off_list.append(off[i])
-    del off_arr
-    return pa.ListArray.from_arrays(pa.array(off_list, type=pa.int32()), pa.array(values, type=vtype))
+def _doc_strs(idx: np.ndarray) -> pa.Array:
+    """Vectorized 'doc%08d' (np.char.mod costs µs/row; this is all C++):
+    idx + 10^8 → '1XXXXXXXX' → replace first char with 'doc'."""
+    import pyarrow.compute as pc
+
+    s = pc.cast(pa.array(idx.astype(np.int64) + 100_000_000), pa.string())
+    return _one_chunk(pc.utf8_replace_slice(s, start=0, stop=1, replacement="doc"))
+
+
+def _dict_strs(indices: np.ndarray, values: list[str]) -> pa.Array:
+    """Vectorized small-vocabulary string column via dictionary decode."""
+    import pyarrow.compute as pc
+
+    d = pa.DictionaryArray.from_arrays(
+        pa.array(indices.astype(np.int32)), pa.array(values, type=pa.string())
+    )
+    return _one_chunk(pc.cast(d, pa.string()))
+
+
+def _one_chunk(a):
+    """pa.array() auto-chunks very large inputs; Struct/Map/List builders
+    need contiguous Arrays (hit at multi-M-row epochs)."""
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
 
 def _payload_arrays(
@@ -160,33 +169,40 @@ def _payload_arrays(
     flat = rng.integers(0, cfg.vocab, size=int(offsets[-1]), dtype=np.int32)
     tokens = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(flat))
     n_tok = pa.array(lens, type=pa.int32())
-    src = pa.array(SOURCES[rng.integers(0, len(SOURCES), size=n)])
-    doc_ids = pa.array([f"doc{int(i):08d}" for i in doc_idx])
+    src = _dict_strs(rng.integers(0, len(SOURCES), size=n), list(SOURCES))
+    doc_ids = _doc_strs(doc_idx)
 
-    keys_flat: list[str] = []
-    vals_flat: list[str] = []
-    moff = np.zeros(n + 1, dtype=np.int32)
+    # vectorized map construction (the python double loop was the
+    # generator bottleneck at multi-M-row epochs): mask matrix (n × keys)
+    # → np.nonzero walks row-major, i.e. exactly map-entry order
     if extra_keys:
         carry = rng.random((n, len(extra_keys))) < cfg.p_extra_value
         raw = rng.integers(0, 100, size=(n, len(extra_keys)))
-        cnt = 0
-        for i in range(n):
-            for j, (add_lsn, key) in enumerate(extra_keys):
-                if valid[i] and carry[i, j] and lsns[i] > add_lsn:
-                    keys_flat.append(key)
-                    vals_flat.append(
-                        f"{raw[i, j] / 100:.2f}" if key.startswith("quality") else str(int(raw[i, j]))
-                    )
-                    cnt += 1
-            moff[i + 1] = cnt
-    extra = pa.MapArray.from_arrays(
-        pa.array(moff),
-        pa.array(keys_flat, type=pa.string()),
-        pa.array(vals_flat, type=pa.string()),
-    )
+        add_lsns = np.array([al for al, _ in extra_keys], dtype=np.int64)
+        mask = carry & valid[:, None] & (lsns[:, None] > add_lsns[None, :])
+        import pyarrow.compute as pc
+
+        rows, cols = np.nonzero(mask)
+        is_quality = np.array([k.startswith("quality") for _, k in extra_keys])
+        picked = raw[rows, cols]
+        # '%.2f' of picked/100 for picked in 0..99 ≡ '0.' + zero-padded
+        # 2 digits: picked+100 → '1XX' → replace first char with '0.'
+        qual_str = pc.utf8_replace_slice(
+            pc.cast(pa.array(picked + 100), pa.string()), start=0, stop=1, replacement="0."
+        )
+        int_str = pc.cast(pa.array(picked), pa.string())
+        vals = _one_chunk(pc.if_else(pa.array(is_quality[cols]), qual_str, int_str))
+        moff = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(mask.sum(axis=1, dtype=np.int32), out=moff[1:])
+        keys = _dict_strs(cols, [k for _, k in extra_keys])
+    else:
+        moff = np.zeros(n + 1, dtype=np.int32)
+        keys = pa.array([], type=pa.string())
+        vals = pa.array([], type=pa.string())
+    extra = pa.MapArray.from_arrays(pa.array(moff), keys, vals)
 
     return pa.StructArray.from_arrays(
-        [doc_ids, tokens, n_tok, src, extra],
+        [_one_chunk(a) for a in (doc_ids, tokens, n_tok, src, extra)],
         fields=list(ARROW_PAYLOAD),
         mask=pa.array(~valid),
     )
@@ -229,23 +245,35 @@ def generate_epoch(cfg: GenConfig, epoch: int) -> pa.Table:
 
     miss_tok = is_u & (rng.random(n) < cfg.p_missing_tokens)
     miss_src = is_u & (rng.random(n) < cfg.p_missing_source)
-    mm: list[list[str] | None] = [
-        ((["tokens"] if miss_tok[i] else []) + (["source"] if miss_src[i] else []))
-        if is_u[i]
-        else None
-        for i in range(n)
-    ]
-    missing_mask = pa.array(mm, type=pa.list_(pa.string()))
-    primary_keys = pa.array(
-        [None if d else ["doc_id"] for d in is_ddl], type=pa.list_(pa.string())
+    # vectorized list<string> build (entry order: tokens then source)
+    mm_mask = np.stack([miss_tok, miss_src], axis=1)
+    mm_rows, mm_cols = np.nonzero(mm_mask)
+    mm_off = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(mm_mask.sum(axis=1, dtype=np.int32), out=mm_off[1:])
+    missing_mask = pa.ListArray.from_arrays(
+        pa.array(mm_off),
+        _dict_strs(mm_cols, ["tokens", "source"]),
+        mask=pa.array(~is_u),
+    )
+    pk_off = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum((~is_ddl).astype(np.int32), out=pk_off[1:])
+    primary_keys = pa.ListArray.from_arrays(
+        pa.array(pk_off),
+        _dict_strs(np.zeros(int(pk_off[-1]), dtype=np.int32), ["doc_id"]),
+        mask=pa.array(is_ddl),
     )
 
+    import pyarrow.compute as pc
+
     top_doc = np.where(is_d, doc_idx, after_idx)
-    doc_col = pa.array(
-        [None if d else f"doc{int(i):08d}" for d, i in zip(is_ddl, top_doc)], type=pa.string()
-    )
-    ddl_kind = pa.array([ddl_map[l][0] if l in ddl_map else None for l in lsns], type=pa.string())
-    ddl_payload = pa.array([ddl_map[l][1] if l in ddl_map else None for l in lsns], type=pa.string())
+    doc_col = pc.if_else(pa.array(is_ddl), pa.scalar(None, pa.string()), _doc_strs(top_doc))
+    ddl_kind_np = np.full(n, None, dtype=object)
+    ddl_payload_np = np.full(n, None, dtype=object)
+    for l, (k, pj) in ddl_map.items():
+        ddl_kind_np[l - lo] = k
+        ddl_payload_np[l - lo] = pj
+    ddl_kind = pa.array(ddl_kind_np, type=pa.string())
+    ddl_payload = pa.array(ddl_payload_np, type=pa.string())
 
     return pa.Table.from_arrays(
         [

@@ -59,6 +59,16 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", required=True)
     _add_common(v)
 
+    cp = sub.add_parser("compact", help="rewrite base, consume deltas (Iceberg rewrite_data_files analogue)")
+    cp.add_argument("--table", required=True)
+    _add_common(cp)
+
+    bs = sub.add_parser("bootstrap", help="seed the target table from an existing tokens parquet")
+    bs.add_argument("--from-parquet", required=True, dest="from_parquet",
+                    help="parquet with (doc_id, tokens, n_tok, source) columns")
+    bs.add_argument("--table", required=True)
+    _add_common(bs)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
@@ -80,13 +90,14 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd in ("replay", "stream"):
             t0 = time.monotonic()
+            epoch_stats: list = []
             if args.cmd == "replay":
                 from cdc_spark.streaming.pipeline import replay
 
                 table = replay(
                     spark, args.binlog, args.table,
                     dedupe_mode=args.dedupe, normalize_impl=args.normalize,
-                    compact_every=args.compact_every,
+                    compact_every=args.compact_every, stats_out=epoch_stats,
                 )
             else:
                 from cdc_spark.streaming.pipeline import stream
@@ -99,6 +110,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "epochs_applied": len(st["epochs"]), "version": st["version"],
                 "final_rows": n_rows, "seconds": round(dt, 2),
+                "epoch_seconds": [round(r["seconds"], 2) for r in epoch_stats if "seconds" in r],
+                "epoch_events": [r.get("n_events", 0) for r in epoch_stats],
                 "registry": st["registry"],
             }))
             return 0
@@ -128,6 +141,39 @@ def main(argv: list[str] | None = None) -> int:
                               "diffs": len(diffs), "ok": not diffs,
                               "sample": diffs[:5]}))
             return 0 if not diffs else 1
+
+        if args.cmd == "compact":
+            from cdc_spark.sinks.target import TargetTable
+
+            table = TargetTable(args.table)
+            entry = table.compact(spark)
+            print(json.dumps({"version": entry["version"], "kind": entry["kind"],
+                              "snapshot_id": entry["snapshot_id"]}))
+            return 0
+
+        if args.cmd == "bootstrap":
+            from pyspark.sql import functions as F
+
+            from cdc_spark.sinks.target import TargetTable
+
+            table = TargetTable(args.table)
+            table.create_if_absent()
+            src = spark.read.parquet(args.from_parquet)
+            # bootstrap rows carry lsn 0: any change event (lsn >= 1)
+            # wins LWW over the seeded image
+            seed = src.select(
+                F.col("doc_id").cast("string"),
+                F.col("tokens").cast("array<int>"),
+                F.col("n_tok").cast("int"),
+                F.col("source").cast("string"),
+                F.lit(0).cast("long").alias("last_lsn"),
+                F.lit(False).alias("deleted"),
+            )
+            entry = table.commit_delta(seed, epoch=-1, stats=None)
+            n = table.read_resolved(spark).count()
+            print(json.dumps({"bootstrapped": entry is not None, "rows": n,
+                              "version": table.state()["version"]}))
+            return 0
         return 2
     finally:
         spark.stop()

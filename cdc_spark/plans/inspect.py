@@ -1,0 +1,57 @@
+"""Physical-plan inspection helpers.
+
+The engine's scale posture lives in plan PROPERTIES, not in code
+comments: filters reach the parquet scan, scans read only needed
+columns, aggregations partial-reduce map-side, and no redundant
+exchanges appear. These helpers extract those properties from
+`explain("formatted")` output so tests can PIN them — a plan regression
+(e.g. a lost pushdown after a refactor) fails CI instead of silently
+costing a full-table scan at 100 TB.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters bracket contents, one string per file scan (filter
+    expressions contain commas, so no per-entry splitting)."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings of every file scan (column pruning)."""
+    return re.findall(r"ReadSchema: (struct<[^\n]*)", formatted_plan(df))
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges in the plan (excludes broadcast exchanges)."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """True when the plan partial-aggregates before the shuffle
+    (HashAggregate with a partial mode below an Exchange)."""
+    plan = formatted_plan(df)
+    return bool(re.search(r"Functions \[\d+\]: \[partial_", plan))
+
+
+def scan_columns(df: DataFrame) -> set[str]:
+    """Union of column names actually read from files."""
+    cols: set[str] = set()
+    for schema in read_schemas(df):
+        cols.update(re.findall(r"(\w+):", schema))
+    return cols

@@ -61,9 +61,18 @@ def project_to_table(events: DataFrame, registry: list[dict]) -> DataFrame:
 
 
 def lineage_stats(raw: DataFrame) -> DataFrame:
-    """Per-partition offset range + op counts (F3), computed on the raw
-    batch pre-dedupe — one narrow aggregation, no extra shuffle stage
-    beyond the groupBy on partition id."""
+    """Per-partition offset range + op counts (F3) AND the partition's
+    DDL events, in ONE narrow aggregation over a pruned 4-column scan.
+
+    Folding the DDL probe into the lineage pass (collect_list skips the
+    nulls non-DDL rows produce) drops the per-micro-batch Spark job
+    count from 3 to 2 — at 10^10 events the per-epoch barrier count is
+    a throughput term of its own. DDL volume is tiny by design, so
+    carrying the events through the aggregate is free."""
+    ddl_evt = F.when(
+        F.col("op_type") == "DDL",
+        F.struct(F.col("lsn"), F.col("ddl_kind"), F.col("ddl_payload")),
+    )
     return (
         raw.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
@@ -73,6 +82,7 @@ def lineage_stats(raw: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("op_type") == "U", 1).otherwise(0)).alias("n_update"),
             F.sum(F.when(F.col("op_type") == "D", 1).otherwise(0)).alias("n_delete"),
             F.sum(F.when(F.col("op_type") == "DDL", 1).otherwise(0)).alias("n_ddl"),
+            F.collect_list(ddl_evt).alias("ddl_events"),
         )
     )
 
@@ -112,20 +122,18 @@ def apply_batch(
                 )
         return {"applied": False, "epoch": epoch, "reason": "epoch already committed"}
 
-    # NB: deliberately NOT persist()ed. The three consumers below read
-    # disjoint column subsets (DDL: 3 tiny cols; lineage: lsn+op_type;
-    # main pass: payload) — parquet column pruning makes each re-scan
-    # cheaper than materializing the nested before/after structs + maps
-    # into the columnar cache (measured 5.8s persist vs <1s pruned scans
-    # per 250k-event epoch).
+    # NB: deliberately NOT persist()ed. The two jobs below read disjoint
+    # column subsets (lineage+DDL: 4 tiny cols; main pass: payload) —
+    # parquet column pruning makes each scan cheaper than materializing
+    # the nested before/after structs + maps into the columnar cache
+    # (measured 5.8s persist vs <1s pruned scans per 250k-event epoch).
 
-    # -- phase 1: DDL barrier (driver-side; DDL volume is tiny by design) --
-    ddl_rows = (
-        batch.filter(F.col("op_type") == "DDL")
-        .select("lsn", "ddl_kind", "ddl_payload")
-        .collect()
+    # -- phase 1: one pruned pass → per-partition lineage + DDL barrier --
+    lineage = lineage_stats(batch).collect()
+    ddl_rows = sorted(
+        (e for r in lineage for e in r["ddl_events"]), key=lambda e: e["lsn"]
     )
-    for r in sorted(ddl_rows, key=lambda r: r["lsn"]):
+    for r in ddl_rows:
         table.apply_ddl(spark, r["ddl_kind"], r["ddl_payload"], ddl_id=f"{epoch}:{r['lsn']}")
 
     registry = table.state()["registry"]
@@ -134,7 +142,6 @@ def apply_batch(
     events = normalize(batch, impl=normalize_impl)
     deduped = lww_dedupe(events, key="doc_id", order="lsn", mode=dedupe_mode)
     delta = project_to_table(deduped, registry)
-    lineage = lineage_stats(batch).collect()
     n_events = int(sum(r["n_insert"] + r["n_update"] + r["n_delete"] + r["n_ddl"] for r in lineage))
     stats = {
         "n_events": n_events,
@@ -185,11 +192,15 @@ def replay(
     lineage: bool = True,
     stop_after: int | None = None,
     compact_every: int = 16,
+    stats_out: list | None = None,
 ) -> TargetTable:
     """Batch replay driver: one apply_batch per segment, in epoch order.
 
     `stop_after` aborts after N epochs (for kill/resume tests); calling
-    replay again resumes — already-committed epochs no-op."""
+    replay again resumes — already-committed epochs no-op. `stats_out`
+    (a caller-supplied list) collects each apply_batch result dict —
+    per-epoch seconds let benchmarks separate JIT-cold first epochs
+    from steady-state throughput."""
     table = TargetTable(table_path, compact_every=compact_every)
     table.create_if_absent()
     by_epoch = list_segments(binlog_dir)
@@ -197,10 +208,12 @@ def replay(
     done = 0
     for epoch in sorted(by_epoch):
         batch = read_changes(spark, by_epoch[epoch])
-        apply_batch(
+        res = apply_batch(
             spark, table, batch, epoch,
             dedupe_mode=dedupe_mode, normalize_impl=normalize_impl, lineage_dir=lineage_dir,
         )
+        if stats_out is not None:
+            stats_out.append(res)
         done += 1
         if stop_after is not None and done >= stop_after:
             break

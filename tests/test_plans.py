@@ -1,0 +1,99 @@
+"""Pin the physical-plan properties the engine's scale story depends on
+(SURVEY.md §4): pushdown, pruning, map-side partial aggregation, and
+shuffle counts. A regression here silently becomes a full-table scan or
+an extra 100-TB shuffle in production — so it fails loudly in CI."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cdc_spark.operators.dedupe import lww_dedupe
+from cdc_spark.operators.normalize import normalize
+from cdc_spark.plans.inspect import (
+    count_exchanges,
+    has_partial_aggregate,
+    pushed_filters,
+    scan_columns,
+)
+from cdc_spark.sources.binlog import read_changes
+
+
+def test_ddl_scan_prunes_and_pushes(spark, small_binlog):
+    """The per-batch DDL probe must read 4 narrow columns with the
+    op_type filter pushed to parquet — never the nested payload."""
+    q = (
+        read_changes(spark, small_binlog)
+        .filter(F.col("op_type") == "DDL")
+        .select("lsn", "ddl_kind", "ddl_payload")
+    )
+    assert any("EqualTo(op_type,DDL)" in f for f in pushed_filters(q))
+    cols = scan_columns(q)
+    assert "before" not in cols and "after" not in cols and "tokens" not in cols
+
+
+def test_lsn_range_scan_pushdown(spark, small_binlog):
+    q = read_changes(spark, small_binlog).filter(
+        (F.col("lsn") > 100) & (F.col("lsn") <= 2000)
+    )
+    fs = pushed_filters(q)
+    assert any("GreaterThan(lsn" in f for f in fs)
+    assert any("LessThanOrEqual(lsn" in f for f in fs)
+
+
+def test_lww_agg_partial_aggregates_one_shuffle(spark, small_binlog):
+    """The 100-TB dedupe path: map-side partial max_by, exactly one
+    shuffle — hot keys reduce locally before hitting the wire."""
+    ev = normalize(read_changes(spark, small_binlog))
+    dd = lww_dedupe(ev, mode="agg")
+    assert has_partial_aggregate(dd)
+    assert count_exchanges(dd) == 1
+
+
+def test_window_mode_shuffles_without_partial_reduce(spark, small_binlog):
+    """Documents WHY 'agg' is the default: the window formulation is a
+    plain shuffle+sort with no map-side reduction."""
+    ev = normalize(read_changes(spark, small_binlog))
+    dd = lww_dedupe(ev, mode="window")
+    assert not has_partial_aggregate(dd)
+
+
+def test_minhash_partial_aggregates(spark):
+    from cdc_spark.functions.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} common tokens here for shingles {i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(df)
+    assert has_partial_aggregate(sigs)
+    assert count_exchanges(sigs) == 1
+
+
+def test_enrich_join_broadcasts_dims(spark):
+    """Dimension enrichment must plan as BroadcastHashJoin — the fact
+    side must not shuffle for the join."""
+    import __spark_entry__ as em
+    from cdc_spark.plans.inspect import formatted_plan
+
+    import re
+
+    q = em.queries()["enrich_broadcast_join"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(q)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plan_has_no_shuffle(spark):
+    """brute_force_topk must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge) — no global sort, no exchange."""
+    from cdc_spark.functions.similarity import brute_force_topk
+    from cdc_spark.plans.inspect import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(50)], ["vec_id", "embedding"]
+    )
+    q = brute_force_topk(df, [1.0, 0.0, 0.0], k=5)
+    plan = formatted_plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert count_exchanges(q) == 0
