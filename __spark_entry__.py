@@ -283,6 +283,13 @@ def _q_emb_topk_lsh(spark, sf):
     return lsh_topk(e, _query_vec(spark, sf), k=10)
 
 
+def _q_emb_topk_ivf(spark, sf):
+    from cdc_spark.functions.similarity import ivf_topk
+
+    e = _load(spark, sf, "embeddings")
+    return ivf_topk(e, _query_vec(spark, sf), k=10)
+
+
 def _docs_with_variants(spark, sf) -> DataFrame:
     """documents ∪ a deterministic near-dup variant of each doc (first
     word dropped, doc_id offset by 1,000,000) — gives the near-dup
@@ -480,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing_agg": _q_lineitem_pricing,
         # non-SQL-expressible / approximate (rows-only checks)
         "emb_cosine_topk_lsh": _q_emb_topk_lsh,
+        "emb_cosine_topk_ivf": _q_emb_topk_ivf,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "cdc_replay_final_state": _q_replay_final,
     }

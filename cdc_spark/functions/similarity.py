@@ -107,6 +107,71 @@ def lsh_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Tiny deterministic k-means (numpy, driver-side) for the IVF coarse
+    quantizer. The fit runs on a bounded sample — at 100 TB you fit on
+    ~10^5 sampled vectors once and broadcast the centroids; the full-table
+    pass is assignment only."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            hit = sample[assign == c]
+            if len(hit):
+                centroids[c] = hit.mean(axis=0)
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
+    """Argmin-distance cluster id as a pure column expression: an array
+    of (dist, idx) structs reduced by array_min (lexicographic → min
+    dist, ties to lowest idx). JVM-side; no UDF."""
+    entries = []
+    for i, c in enumerate(centroids):
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        diff = F.zip_with(vec, cl, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
+        dist = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+        entries.append(F.struct(dist.alias("dist"), F.lit(i).alias("idx")))
+    return F.array_min(F.array(*entries))["idx"]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    fit_sample: int = 2048,
+    seed: int = 42,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → probe only the
+    `n_probe` clusters nearest the query → exact cosine rank on those
+    candidates. The scan prunes (1 - n_probe/n_clusters) of the table;
+    at scale the cluster id is precomputed+partitioned-by at write time
+    so probing touches only matching partitions (partition pruning)."""
+    sample = np.array(
+        [r[vec_col] for r in df.select(vec_col).limit(fit_sample).collect()],
+        dtype=np.float64,
+    )
+    centroids = _kmeans_fit(sample, n_clusters, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe = np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1))[:n_probe].tolist()
+
+    assigned = df.withColumn("_cluster", _nearest_centroid(F.col(vec_col), centroids))
+    cand = assigned.filter(F.col("_cluster").isin([int(p) for p in probe]))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), qcol), round_to).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def all_pairs_above(
     df: DataFrame,
     threshold: float,

@@ -1,0 +1,51 @@
+"""ANN operators: exact top-k is ground truth; LSH and IVF must reach
+reasonable recall against it on clustered synthetic vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cdc_spark.functions.similarity import brute_force_topk, ivf_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16)) * 3
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in c + rng.standard_normal(16) * 0.3]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+@pytest.fixture(scope="module")
+def query(vecs):
+    return [float(x) for x in vecs.filter("vec_id = 0").first()["embedding"]]
+
+
+def test_brute_force_topk_selfmatch(vecs, query):
+    top = brute_force_topk(vecs, query, k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cos_sim"] == 1.0
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall(vecs, query):
+    exact = {r["vec_id"] for r in brute_force_topk(vecs, query, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_topk(vecs, query, k=10, n_clusters=8, n_probe=3).collect()}
+    assert len(exact & approx) >= 8  # high recall on well-separated clusters
+
+
+def test_ivf_deterministic(vecs, query):
+    a = [tuple(r) for r in ivf_topk(vecs, query, k=10).collect()]
+    b = [tuple(r) for r in ivf_topk(vecs, query, k=10).collect()]
+    assert a == b
+
+
+def test_lsh_candidates_subset_ranked_exactly(vecs, query):
+    rows = lsh_topk(vecs, query, k=5, n_planes=10, max_hamming=3).collect()
+    assert rows[0]["vec_id"] == 0  # query vector always survives its own buckets
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)

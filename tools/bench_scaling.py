@@ -42,6 +42,10 @@ def run_replay(binlog: str, table: str, cores: int, zip_path: str) -> dict:
             "--driver-memory", os.environ.get("CDC_BENCH_DRIVER_MEM", "12g"),
             "--conf",
             f"spark.driver.extraJavaOptions=-Xms{os.environ.get('CDC_BENCH_DRIVER_MEM', '12g')} -XX:+AlwaysPreTouch",
+            # smaller splits -> one task per part file even after packing,
+            # so high core counts get balanced scans
+            "--conf", "spark.sql.files.maxPartitionBytes=33554432",
+            "--conf", "spark.locality.wait=0",
             "--py-files", zip_path,
             os.path.join(REPO, "cdc_spark", "job.py"),
             "replay", "--binlog", binlog, "--table", table,
