@@ -51,6 +51,9 @@ HEADLINE = [
     "doc_ngram_jaccard",
     "emb_cosine_topk",
     "emb_cosine_topk_lsh",
+    "emb_cosine_topk_ivf",
+    "enrich_broadcast_join",
+    "lineitem_pricing_agg",
 ]
 
 
