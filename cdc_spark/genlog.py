@@ -84,6 +84,7 @@ class GenConfig:
     p_pk_change: float = 0.05
     p_missing_tokens: float = 0.30
     p_missing_source: float = 0.30
+    p_heartbeat: float = 0.0
     p_extra_value: float = 0.60
     tokens_min: int = 8
     tokens_max: int = 64
@@ -245,6 +246,14 @@ def generate_epoch(cfg: GenConfig, epoch: int) -> pa.Table:
 
     miss_tok = is_u & (rng.random(n) < cfg.p_missing_tokens)
     miss_src = is_u & (rng.random(n) < cfg.p_missing_source)
+    if cfg.p_heartbeat > 0:
+        # heartbeats (reference: GoldenGate generic-wrapper messages the
+        # normalizer drops, Normalizer.java:68-72 / T10). Drawn LAST so a
+        # p_heartbeat=0 config reproduces byte-identical pre-heartbeat
+        # streams; the overwritten op's payloads stay in the row — the
+        # engine must drop heartbeats regardless of what rides along.
+        hb = (rng.random(n) < cfg.p_heartbeat) & ~is_ddl
+        ops[hb] = "H"
     # vectorized list<string> build (entry order: tokens then source)
     mm_mask = np.stack([miss_tok, miss_src], axis=1)
     mm_rows, mm_cols = np.nonzero(mm_mask)

@@ -116,9 +116,13 @@ def replay(segments: list[str] | str) -> tuple[dict, Registry]:
             assert ev["lsn"] > last_lsn, "binlog must be strictly lsn-ordered"
             last_lsn = ev["lsn"]
             op = ev["op_type"]
+            if op == "H":  # heartbeat: no state effect (T10)
+                continue
             if op == "DDL":
                 reg.apply(ev["ddl_kind"], ev["ddl_payload"])
                 continue
+            if op not in ("I", "U", "D"):
+                raise ValueError(f"unknown op_type {op!r} at lsn {ev['lsn']}")
             if op == "D":
                 state.pop(ev["doc_id"], None)
                 continue

@@ -82,6 +82,10 @@ def lineage_stats(raw: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("op_type") == "U", 1).otherwise(0)).alias("n_update"),
             F.sum(F.when(F.col("op_type") == "D", 1).otherwise(0)).alias("n_delete"),
             F.sum(F.when(F.col("op_type") == "DDL", 1).otherwise(0)).alias("n_ddl"),
+            F.sum(F.when(F.col("op_type") == "H", 1).otherwise(0)).alias("n_heartbeat"),
+            F.sum(
+                F.when(~F.col("op_type").isin("I", "U", "D", "DDL", "H"), 1).otherwise(0)
+            ).alias("n_unknown"),
             F.collect_list(ddl_evt).alias("ddl_events"),
         )
     )
@@ -130,6 +134,16 @@ def apply_batch(
 
     # -- phase 1: one pruned pass → per-partition lineage + DDL barrier --
     lineage = lineage_stats(batch).collect()
+    n_unknown = int(sum(r["n_unknown"] for r in lineage))
+    if n_unknown:
+        # strict like the reference's Kudu sink (CDCKudu.java:171-173);
+        # heartbeats ('H') are the only tolerated non-change op (T10,
+        # Normalizer.java:68-72) — anything else silently dropped would
+        # be data loss
+        raise ValueError(
+            f"epoch {epoch}: {n_unknown} events with unknown op_type "
+            "(not I/U/D/DDL/H); refusing to apply the batch"
+        )
     ddl_rows = sorted(
         (e for r in lineage for e in r["ddl_events"]), key=lambda e: e["lsn"]
     )
@@ -144,7 +158,7 @@ def apply_batch(
     delta = project_to_table(deduped, registry)
     n_events = int(sum(r["n_insert"] + r["n_update"] + r["n_delete"] + r["n_ddl"] for r in lineage))
     stats = {
-        "n_events": n_events,
+        "n_events": n_events + int(sum(r["n_heartbeat"] for r in lineage)),
         "min_lsn": min((r["min_lsn"] for r in lineage), default=None),
         "max_lsn": max((r["max_lsn"] for r in lineage), default=None),
     }
@@ -166,6 +180,7 @@ def apply_batch(
                 "n_update": r["n_update"],
                 "n_delete": r["n_delete"],
                 "n_ddl": r["n_ddl"],
+                "n_heartbeat": r["n_heartbeat"],
                 "snapshot_id": entry["snapshot_id"],
                 "events_per_sec": n_events / dt if dt > 0 else None,
             }
