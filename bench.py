@@ -30,9 +30,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("CDC_BENCH_EVENTS", "200000"))
-N_DOCS = int(os.environ.get("CDC_BENCH_DOCS", "20000"))
-EPOCH = int(os.environ.get("CDC_BENCH_EPOCH", "20000"))
+N_EVENTS = int(os.environ.get("CDC_BENCH_EVENTS", "2000000"))
+N_DOCS = int(os.environ.get("CDC_BENCH_DOCS", "200000"))
+EPOCH = int(os.environ.get("CDC_BENCH_EPOCH", "500000"))
 
 #: contract queries worth timing at sf0.1 (skip the tiny/driver-bound ones)
 HEADLINE = [
