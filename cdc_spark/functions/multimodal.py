@@ -132,8 +132,9 @@ def frame_sample(df: DataFrame, every_n: int = 30, fake: bool = True) -> DataFra
                 if mt != "video" or payload is None:
                     continue
                 meta = decode_video(bytes(payload), fake=fake)
+                frame_ms = meta["duration_ms"] // meta["n_frames"]  # codec is the source of truth
                 for idx in range(0, meta["n_frames"], every_n):
-                    rows.append((aid, idx, idx * 33))
+                    rows.append((aid, idx, idx * frame_ms))
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "ts_ms"])
 
     return df.select("asset_id", "media_type", "payload").mapInPandas(batches, schema=schema)

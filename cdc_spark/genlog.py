@@ -323,7 +323,9 @@ def write_binlog(cfg: GenConfig, outdir: str, parts: int = 1) -> list[str]:
         n = t.num_rows
         step = (n + parts - 1) // parts
         for pi, lo in enumerate(range(0, n, step)):
-            p = os.path.join(outdir, f"segment-{e:05d}-p{pi:03d}.parquet")
+            # 5-digit pad: lexicographic order must equal lsn order for
+            # any realistic parts count (p1000 would sort before p999)
+            p = os.path.join(outdir, f"segment-{e:05d}-p{pi:05d}.parquet")
             pq.write_table(t.slice(lo, step), p)
             paths.append(p)
     return paths

@@ -108,10 +108,13 @@ def main(argv: list[str] | None = None) -> int:
             st = table.state()
             n_rows = table.read_resolved(spark).count()
             print(json.dumps({
-                "epochs_applied": len(st["epochs"]), "version": st["version"],
+                "epochs_applied": st.get("epochs_applied", len(st["epochs"])),
+                "version": st["version"],
                 "final_rows": n_rows, "seconds": round(dt, 2),
+                # filtered identically so the two lists stay positionally
+                # aligned when some epochs no-op on a resumed replay
                 "epoch_seconds": [round(r["seconds"], 2) for r in epoch_stats if "seconds" in r],
-                "epoch_events": [r.get("n_events", 0) for r in epoch_stats],
+                "epoch_events": [r["n_events"] for r in epoch_stats if "seconds" in r],
                 "registry": st["registry"],
             }))
             return 0

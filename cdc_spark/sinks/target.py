@@ -72,7 +72,15 @@ class TargetTable:
                     "base_version": 0,
                     "delta_epochs": [],
                     "applied_ddl": [],
+                    # applied epochs = everything <= epoch_watermark plus
+                    # the sparse `epochs` list; stats kept only for the
+                    # sparse tail. Compaction folds the contiguous prefix
+                    # into the watermark so journal entries stay O(deltas),
+                    # not O(all epochs ever) — at 10^10-event scale the
+                    # journal is parsed on every micro-batch.
+                    "epoch_watermark": -(10**18),
                     "epochs": [],
+                    "epochs_applied": 0,
                     "epoch_stats": {},
                 }
             )
@@ -105,13 +113,28 @@ class TargetTable:
 
     # -- epoch idempotency (exactly-once) ------------------------------------
 
-    def has_epoch(self, epoch: int) -> bool:
-        return epoch in self.state()["epochs"]
+    def has_epoch(self, epoch: int, state: dict | None = None) -> bool:
+        st = state or self.state()
+        return epoch <= st.get("epoch_watermark", -(10**18)) or epoch in st["epochs"]
+
+    def applied_epochs(self, state: dict | None = None) -> tuple[int, set[int]]:
+        """(watermark, sparse later epochs): applied ⇔ e <= watermark or
+        e in the sparse set."""
+        st = state or self.state()
+        return st.get("epoch_watermark", -(10**18)), set(st["epochs"])
+
+    def max_epoch(self, state: dict | None = None) -> int | None:
+        st = state or self.state()
+        w, sparse = self.applied_epochs(st)
+        if sparse:
+            return max(sparse)
+        return None if w <= -(10**18) else w
 
     def epoch_stats(self, epoch: int) -> dict | None:
         """(n_events, min_lsn, max_lsn) recorded when the epoch committed —
         lets a redelivery be told apart from a PARTIAL delivery (an epoch
-        split across micro-batches by a file-source trigger limit)."""
+        split across micro-batches by a file-source trigger limit).
+        Returns None for epochs folded below the compaction watermark."""
         return self.state().get("epoch_stats", {}).get(str(epoch))
 
     def has_ddl(self, ddl_id: str) -> bool:
@@ -236,7 +259,7 @@ class TargetTable:
         entry, or None if the epoch was already applied (exactly-once
         re-delivery guard)."""
         st = self.state()
-        if epoch in st["epochs"]:
+        if self.has_epoch(epoch, st):
             return None
         outdir = os.path.join(self.path, "delta", f"epoch={epoch:08d}")
         self._write_bucketed(df, outdir, pre_partitioned=pre_partitioned)
@@ -246,7 +269,8 @@ class TargetTable:
                 "version": st["version"] + 1,
                 "kind": "delta",
                 "delta_epochs": st["delta_epochs"] + [epoch],
-                "epochs": st["epochs"] + [epoch],
+                "epochs": sorted(set(st["epochs"]) | {epoch}),
+                "epochs_applied": st.get("epochs_applied", 0) + 1,
                 "epoch_stats": {**st.get("epoch_stats", {}),
                                 **({str(epoch): stats} if stats else {})},
             }
@@ -281,6 +305,12 @@ class TargetTable:
         new_base = st["version"] + 1
         outdir = os.path.join(self.path, "base", f"v{new_base:08d}")
         self._write_bucketed(out, outdir)
+        # fold the contiguous applied prefix into the watermark so the
+        # epochs list + stats stay O(epochs-since-last-gap), not O(all)
+        w = st.get("epoch_watermark", -(10**18))
+        sparse = sorted(set(st["epochs"]))
+        while sparse and (w <= -(10**18) or sparse[0] <= w + 1):
+            w = max(w, sparse.pop(0))
         entry = self._commit(
             {
                 **st,
@@ -290,6 +320,11 @@ class TargetTable:
                 "base_version": new_base,
                 "delta_epochs": [],
                 "applied_ddl": st["applied_ddl"] + (extra_ddl or []),
+                "epoch_watermark": w,
+                "epochs": sparse,
+                "epoch_stats": {
+                    k: v for k, v in st.get("epoch_stats", {}).items() if int(k) in set(sparse)
+                },
             }
         )
         self._gc(entry)

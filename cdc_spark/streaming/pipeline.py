@@ -99,18 +99,24 @@ def apply_batch(
     dedupe_mode: str = "agg",
     normalize_impl: str = "expr",
     lineage_dir: str | None = None,
+    verify_redelivery: bool = False,
 ) -> dict:
     """Apply one epoch's change events; returns {applied, n_events, ...}.
 
-    Idempotent: re-delivery of an applied epoch is a no-op (exactly-once)."""
+    Idempotent: re-delivery of an applied epoch is a no-op (exactly-once).
+    `verify_redelivery=True` additionally cross-checks a redelivered
+    epoch's count/lsn-range against the journal (costs one pruned scan of
+    the redelivered batch) — the streaming driver enables it because a
+    file-source trigger limit can split an epoch across micro-batches;
+    batch `replay` always delivers whole epochs, so it skips the scan and
+    resume stays O(1) per committed epoch."""
     t0 = time.monotonic()
     if table.has_epoch(epoch):
         # Exactly-once no-op on true redelivery — but a COUNT/LSN-range
         # mismatch means this delivery carries rows the committed epoch
-        # never saw (an epoch split across micro-batches, e.g. a file-
-        # source trigger limit below the parts-per-segment). Silently
+        # never saw (an epoch split across micro-batches). Silently
         # no-op'ing would lose those rows; fail loudly instead.
-        recorded = table.epoch_stats(epoch)
+        recorded = table.epoch_stats(epoch) if verify_redelivery else None
         if recorded is not None:
             seen = batch.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -264,12 +270,14 @@ def stream(
 
     def handle(bdf: DataFrame, _bid: int) -> None:
         epochs = [r["epoch"] for r in bdf.select("epoch").distinct().collect()]
-        applied = set(table.state()["epochs"])
+        watermark, sparse = table.applied_epochs()
+        latest = table.max_epoch()
         for e in sorted(epochs):
-            if e not in applied and applied and e != max(applied) + 1:
+            applied = e <= watermark or e in sparse
+            if not applied and latest is not None and e != latest + 1:
                 raise RuntimeError(
                     f"out-of-order segment delivery: epoch {e} arrived but "
-                    f"epochs applied so far are {sorted(applied)}; binlog "
+                    f"the latest applied epoch is {latest}; binlog "
                     "segments must be delivered in epoch order"
                 )
             # applied epochs still go through apply_batch: it no-ops on a
@@ -278,8 +286,10 @@ def stream(
             apply_batch(
                 spark, table, bdf.filter(F.col("epoch") == e), e,
                 dedupe_mode=dedupe_mode, lineage_dir=lineage_dir,
+                verify_redelivery=True,
             )
-            applied.add(e)
+            sparse.add(e)
+            latest = e if latest is None else max(latest, e)
 
     reader = stream_reader(spark, binlog_dir, max_files_per_trigger)
     writer = (

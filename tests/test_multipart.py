@@ -48,11 +48,11 @@ def test_split_epoch_delivery_fails_loudly(spark, workdir, parts_binlog):
 
     os.makedirs(feed, exist_ok=True)
     # deliver only half of epoch 0's parts first
-    for p in sorted(glob.glob(f"{parts_binlog}/segment-00000-p00[01]*.parquet")):
+    for p in sorted(glob.glob(f"{parts_binlog}/segment-00000-p*.parquet"))[:2]:
         shutil.copy(p, feed)
     stream(spark, feed, f"{workdir}/table_split", f"{workdir}/ckpt_split")
     # now the remaining parts of epoch 0 arrive in a later micro-batch
-    for p in sorted(glob.glob(f"{parts_binlog}/segment-00000-p00[23]*.parquet")):
+    for p in sorted(glob.glob(f"{parts_binlog}/segment-00000-p*.parquet"))[2:]:
         shutil.copy(p, feed)
     with pytest.raises(Exception, match="redelivered with different contents"):
         stream(spark, feed, f"{workdir}/table_split", f"{workdir}/ckpt_split")

@@ -12,7 +12,7 @@ def test_kill_and_resume(spark, small_binlog, workdir):
     tdir = f"{workdir}/t_resume"
     replay(spark, small_binlog, tdir, stop_after=2)  # "crash" after epoch 1
     t = TargetTable(tdir)
-    assert t.state()["epochs"] == [0, 1]
+    assert t.state()["epochs_applied"] == 2 and t.max_epoch() == 1
     replay(spark, small_binlog, tdir)  # resume from scratch scan
     assert_matches_oracle(spark, TargetTable(tdir), small_binlog)
 
@@ -67,7 +67,7 @@ def test_streaming_reversed_mtimes_still_ordered(spark, small_binlog, workdir):
         os.utime(p, (t, t))
     tdir = f"{workdir}/t_stream_rev"
     table = stream(spark, feed, tdir, checkpoint_dir=f"{workdir}/ckpt_rev")
-    assert sorted(table.state()["epochs"]) == [0, 1, 2, 3, 4]
+    assert table.state()["epochs_applied"] == 5 and table.max_epoch() == 4
     assert_matches_oracle(spark, table, small_binlog)
 
 
@@ -105,9 +105,9 @@ def test_streaming_resume_from_checkpoint(spark, small_binlog, workdir):
         shutil.copy(f"{small_binlog}/segment-{i:05d}.parquet", feed)
     tdir, ckpt = f"{workdir}/t_stream_resume", f"{workdir}/ckpt_resume"
     table = stream(spark, feed, tdir, checkpoint_dir=ckpt)
-    assert table.state()["epochs"] == [0, 1]
+    assert table.state()["epochs_applied"] == 2 and table.max_epoch() == 1
     for i in range(2, 5):
         shutil.copy(f"{small_binlog}/segment-{i:05d}.parquet", feed)
     table = stream(spark, feed, tdir, checkpoint_dir=ckpt)
-    assert sorted(table.state()["epochs"]) == [0, 1, 2, 3, 4]
+    assert table.state()["epochs_applied"] == 5 and table.max_epoch() == 4
     assert_matches_oracle(spark, table, small_binlog)

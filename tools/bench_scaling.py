@@ -78,6 +78,10 @@ def main() -> int:
                          "identical runs), so single samples are "
                          "meaningless; raw samples are reported too")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--out", default="BENCH_scaling.md",
+                    help="markdown report path relative to the repo root "
+                         "(deliberately NOT BENCH.md — that file carries "
+                         "the curated full-scale analysis)")
     args = ap.parse_args()
 
     work = args.workdir or tempfile.mkdtemp(prefix="cdc_scale_")
@@ -165,7 +169,7 @@ def main() -> int:
         for k, v in effs.items()
     )
     min_tp = min(r["events_per_sec"] for r in results.values())
-    bench_md = os.path.join(REPO, "BENCH.md")
+    bench_md = os.path.join(REPO, args.out)
     with open(bench_md, "w") as f:
         f.write(f"""# BENCH — scaling-efficiency evidence (north rule)
 
