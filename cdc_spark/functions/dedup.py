@@ -126,10 +126,16 @@ def minhash_candidate_pairs(
     m = with_minhash(df, text_col, id_col, k_shingle, n_hashes, bands)
     e = m.select(
         id_col, "sig", F.posexplode("band").alias("band_idx", "bucket")
-    )
+    ).persist()  # both self-join sides read this; without it each side
+    # re-runs the signature aggregation (md5 over every shingle). The
+    # cache is MEMORY_AND_DISK and LRU-evictable; at warehouse scale the
+    # equivalent is a materialized signature table written once.
     a, b = e.alias("a"), e.alias("b")
+    # shuffle-hash: the build side is the compact (id, sig) stream, and
+    # neither side is broadcast (a broadcast would copy every signature
+    # to every task)
     pairs = (
-        a.join(b, on=["band_idx", "bucket"])
+        a.join(b.hint("shuffle_hash"), on=["band_idx", "bucket"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
