@@ -295,9 +295,13 @@ def jaccard_pairs(
     )
     blocked = ex.groupBy(id_col).agg(
         F.collect_set("_h").alias("hs"), F.min("_h").alias("block")
-    )
+    ).persist()  # both self-join sides read this (same rationale as
+    # minhash_candidate_pairs: without it each side re-hashes every
+    # shingle; at warehouse scale this is a materialized blocking table)
     a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = a.join(b, on="block").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    pairs = a.join(b.hint("shuffle_hash"), on="block").filter(
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
     jac = (
         F.size(F.array_intersect("a.hs", "b.hs"))
         / F.size(F.array_union("a.hs", "b.hs"))
