@@ -190,9 +190,12 @@ def all_pairs_above(
     sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
     with_sig = df.select(
         F.col(id_col), F.col(vec_col), sig.alias("_sig")
-    )
+    ).persist()  # both self-join sides read this; without it each side
+    # recomputes every hyperplane projection (n_planes dot products/row)
     a, b = with_sig.alias("a"), with_sig.alias("b")
-    pairs = a.join(b, on="_sig").filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    pairs = a.join(b.hint("shuffle_hash"), on="_sig").filter(
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
     scored = pairs.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
