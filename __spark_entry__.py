@@ -440,6 +440,43 @@ def _q_lineitem_pricing(spark, sf):
     )
 
 
+def _q_streaming_stats(spark, sf):
+    """P13: applyInPandasWithState running per-source stats, driven as a
+    real Structured Streaming query (availableNow) over a generated
+    change feed; returns the final cumulative row per source."""
+    from cdc_spark.genlog import GenConfig, write_binlog
+    from cdc_spark.streaming.stateful import running_source_stats
+
+    work = tempfile.mkdtemp(prefix="cdc_stateful_")
+    out: list = []
+    try:
+        write_binlog(GenConfig(n_events=5_000, n_docs=500, events_per_epoch=1_000, seed=42),
+                     f"{work}/binlog")
+        from cdc_spark.schema import CHANGE_SCHEMA
+
+        changes = (
+            spark.readStream.schema(CHANGE_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(f"{work}/binlog")
+        )
+        q = (
+            running_source_stats(changes)
+            .writeStream.foreachBatch(lambda bdf, _b: out.extend(bdf.collect()))
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    final: dict = {}
+    for r in out:  # cumulative emissions; keep the max per source
+        cur = final.get(r["source"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["source"]] = r.asDict()
+    return spark.createDataFrame(sorted(final.values(), key=lambda d: d["source"]))
+
+
 def _q_replay_final(spark, sf):
     df = _replay_flagship(spark, sf, n_events=10_000)
     # token arrays hashed as their sum+len to keep the rows-only check light
@@ -489,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk_lsh": _q_emb_topk_lsh,
         "emb_cosine_topk_ivf": _q_emb_topk_ivf,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
+        "cdc_streaming_source_stats": _q_streaming_stats,
         "cdc_replay_final_state": _q_replay_final,
     }
 

@@ -52,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
         r.add_argument("--compact-every", type=int, default=16)
         if name == "stream":
             r.add_argument("--checkpoint", required=True)
+            r.add_argument("--max-files-per-trigger", type=int, default=None,
+                           help="rate limit (reference: maxRatePerPartition, "
+                                "GoldenGateKafkaConfig.java:54-62)")
         _add_common(r)
 
     v = sub.add_parser("verify", help="compare final table state vs oracle applier")
@@ -103,7 +106,8 @@ def main(argv: list[str] | None = None) -> int:
                 from cdc_spark.streaming.pipeline import stream
 
                 table = stream(spark, args.binlog, args.table, checkpoint_dir=args.checkpoint,
-                               dedupe_mode=args.dedupe)
+                               dedupe_mode=args.dedupe,
+                               max_files_per_trigger=args.max_files_per_trigger)
             dt = time.monotonic() - t0
             st = table.state()
             n_rows = table.read_resolved(spark).count()
