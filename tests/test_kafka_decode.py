@@ -1,0 +1,28 @@
+"""Kafka value decoding (S7 wiring): JSON-encoded change events round-trip
+through decode_json_changes into CHANGE_SCHEMA exactly."""
+
+from __future__ import annotations
+
+import glob
+
+import pyspark.sql.functions as F
+
+from cdc_spark.sources.binlog import read_changes
+from cdc_spark.sources.kafka import decode_json_changes
+
+
+def test_json_roundtrip_matches_parquet_feed(spark, small_binlog):
+    seg = sorted(glob.glob(f"{small_binlog}/segment-*.parquet"))[0]
+    original = read_changes(spark, seg)
+    # simulate the Kafka wire: one JSON message per event in `value`
+    wire = original.select(
+        F.to_json(F.struct(*original.columns)).cast("binary").alias("value")
+    )
+    decoded = decode_json_changes(wire)
+    assert decoded.schema == original.schema
+    key = lambda r: r["lsn"]  # noqa: E731
+    orig_rows = sorted(original.collect(), key=key)
+    dec_rows = sorted(decoded.collect(), key=key)
+    assert len(orig_rows) == len(dec_rows)
+    for o, d in zip(orig_rows, dec_rows):
+        assert o.asDict(recursive=True) == d.asDict(recursive=True)
