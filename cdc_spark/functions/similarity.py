@@ -172,6 +172,72 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    fit_sample: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """Materialize the IVF index: vectors written parquet-partitioned by
+    their coarse-quantizer cluster (`_cluster=K/` directories) plus the
+    centroids as JSON. Probing then reads ONLY the probed clusters'
+    partitions — real partition pruning, the on-disk form of the
+    `ivf_topk` scan-prune. This is the 100-TB layout: assignment is a
+    one-time write-side cost; every query touches n_probe/n_clusters of
+    the data."""
+    import json
+    import os
+
+    sample = np.array(
+        [r[vec_col] for r in df.select(vec_col).limit(fit_sample).collect()],
+        dtype=np.float64,
+    )
+    centroids = _kmeans_fit(sample, n_clusters, seed=seed)
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        _nearest_centroid(F.col(vec_col), centroids).alias("_cluster"),
+    )
+    assigned.write.mode("overwrite").partitionBy("_cluster").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids.tolist(), f)
+    return centroids
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: pick the n_probe nearest centroids
+    driver-side, then scan only those `_cluster=` partitions (the filter
+    is a partition filter — check PartitionFilters in the plan) and
+    exact-rank the candidates."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = np.array(json.load(f))
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe = np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1))[:n_probe].tolist()
+    cand = spark.read.parquet(path).filter(
+        F.col("_cluster").isin([int(p) for p in probe])
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), qcol), round_to).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
 def all_pairs_above(
     df: DataFrame,
     threshold: float,

@@ -44,6 +44,23 @@ def test_ivf_deterministic(vecs, query):
     assert a == b
 
 
+def test_ivf_index_partition_pruning(spark, vecs, query, tmp_path):
+    """The persisted index must answer via partition pruning: the probe
+    filter appears as a PartitionFilters entry, and results match the
+    in-memory IVF path."""
+    from cdc_spark.functions.similarity import build_ivf_index, ivf_index_topk
+    from cdc_spark.plans.inspect import formatted_plan
+
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(vecs, path, n_clusters=8)
+    q = ivf_index_topk(spark, path, query, k=10, n_probe=3)
+    plan = formatted_plan(q)
+    assert "PartitionFilters" in plan and "_cluster" in plan.split("PartitionFilters", 1)[1][:200]
+    got = {r["vec_id"] for r in q.collect()}
+    mem = {r["vec_id"] for r in ivf_topk(vecs, query, k=10, n_clusters=8, n_probe=3).collect()}
+    assert got == mem
+
+
 def test_lsh_candidates_subset_ranked_exactly(vecs, query):
     rows = lsh_topk(vecs, query, k=5, n_planes=10, max_hamming=3).collect()
     assert rows[0]["vec_id"] == 0  # query vector always survives its own buckets
