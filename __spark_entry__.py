@@ -698,7 +698,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "enrich_broadcast_join": """
             SELECT n.n_name, count(*) AS n_orders,
-                   sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_price_cents
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -706,10 +706,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_pricing_agg": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_price_e4,
-                   round(sum(CAST(l_quantity AS BIGINT)) / count(*), 4) AS avg_qty,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+                   round(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / count(*), 4) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'

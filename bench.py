@@ -63,6 +63,7 @@ def _materialize(df) -> None:
 
 def main() -> int:
     import __spark_entry__ as entrymod
+    from cdc_spark.caching import release_persisted
     from cdc_spark.session import get_spark
 
     spark = get_spark(app="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
@@ -99,6 +100,10 @@ def main() -> int:
         except Exception as e:  # a broken query shows as null, not a crash
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             queries[name] = None
+        finally:
+            # drop query-scoped self-join caches so one query's cache
+            # doesn't occupy memory (or skew timings) for the next
+            release_persisted()
 
     total = round(sum(v for v in queries.values() if v is not None), 3)
     print(json.dumps({

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cdc_spark.caching import track_persist
 from cdc_spark.functions.text import shingles, word_array
 
 
@@ -124,9 +125,9 @@ def minhash_candidate_pairs(
     Plan: scan → explode(bands) → shuffle by (band_idx, bucket) →
     in-bucket self-join → distinct pairs. No all-pairs product."""
     m = with_minhash(df, text_col, id_col, k_shingle, n_hashes, bands)
-    e = m.select(
+    e = track_persist(m.select(
         id_col, "sig", F.posexplode("band").alias("band_idx", "bucket")
-    ).persist()  # both self-join sides read this; without it each side
+    ))  # both self-join sides read this; without it each side
     # re-runs the signature aggregation (md5 over every shingle). The
     # cache is MEMORY_AND_DISK and LRU-evictable; at warehouse scale the
     # equivalent is a materialized signature table written once.
@@ -293,9 +294,9 @@ def jaccard_pairs(
     ex = df.select(F.col(id_col), F.explode(sh).alias("_s")).select(
         F.col(id_col), str_hash60(F.col("_s")).alias("_h")
     )
-    blocked = ex.groupBy(id_col).agg(
+    blocked = track_persist(ex.groupBy(id_col).agg(
         F.collect_set("_h").alias("hs"), F.min("_h").alias("block")
-    ).persist()  # both self-join sides read this (same rationale as
+    ))  # both self-join sides read this (same rationale as
     # minhash_candidate_pairs: without it each side re-hashes every
     # shingle; at warehouse scale this is a materialized blocking table)
     a, b = blocked.alias("a"), blocked.alias("b")

@@ -16,6 +16,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cdc_spark.caching import track_persist
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-fold dot product in double precision — bit-stable
@@ -254,9 +256,9 @@ def all_pairs_above(
     materializes."""
     dim = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
     sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
-    with_sig = df.select(
+    with_sig = track_persist(df.select(
         F.col(id_col), F.col(vec_col), sig.alias("_sig")
-    ).persist()  # both self-join sides read this; without it each side
+    ))  # both self-join sides read this; without it each side
     # recomputes every hyperplane projection (n_planes dot products/row)
     a, b = with_sig.alias("a"), with_sig.alias("b")
     pairs = a.join(b.hint("shuffle_hash"), on="_sig").filter(

@@ -43,11 +43,16 @@ def _masked(field: str, mask_name: str | None = None) -> Column:
 def _merged_extra() -> Column:
     """after.extra over before.extra (after wins per key).
 
-    Requires spark.sql.mapKeyDedupPolicy=LAST_WIN (set by session.py)."""
-    return F.map_concat(
-        F.coalesce(F.col("before.extra"), F.expr(_EMPTY_MAP)),
-        F.coalesce(F.col("after.extra"), F.expr(_EMPTY_MAP)),
-    )
+    Policy-independent: before-only keys are filtered out first, so the
+    two maps handed to map_concat are key-disjoint and the result is the
+    same under any spark.sql.mapKeyDedupPolicy — including the default
+    EXCEPTION of a vanilla deployment session. Reference semantics
+    (after-image wins): source/oracle/Normalizer.java:190-202."""
+    before = F.coalesce(F.col("before.extra"), F.expr(_EMPTY_MAP))
+    after = F.coalesce(F.col("after.extra"), F.expr(_EMPTY_MAP))
+    after_keys = F.map_keys(after)
+    before_only = F.map_filter(before, lambda k, _: ~F.array_contains(after_keys, k))
+    return F.map_concat(before_only, after)
 
 
 def _upsert_struct(tokens: Column, n_tok: Column, source: Column, extra: Column) -> Column:

@@ -17,9 +17,11 @@ def get_spark(
     same engine code runs under spark-submit with cluster conf.
 
     - AQE on: runtime coalescing + skew-join mitigation (SURVEY.md §4.3).
-    - mapKeyDedupPolicy=LAST_WIN: map_concat(after-over-before) semantics
-      in operators.normalize.
     - Arrow enabled for the pandas-UDF kernels.
+
+    No semantic configs: the engine must produce identical results on a
+    bare ``SparkSession.builder.getOrCreate()`` (the driver's session) —
+    pinned by tests/test_default_session.py.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
@@ -32,7 +34,6 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -72,12 +72,17 @@ class TargetTable:
                     "base_version": 0,
                     "delta_epochs": [],
                     "applied_ddl": [],
-                    # applied epochs = everything <= epoch_watermark plus
+                    # applied epochs = [epoch_floor, epoch_watermark] plus
                     # the sparse `epochs` list; stats kept only for the
                     # sparse tail. Compaction folds the contiguous prefix
                     # into the watermark so journal entries stay O(deltas),
                     # not O(all epochs ever) — at 10^10-event scale the
-                    # journal is parsed on every micro-batch.
+                    # journal is parsed on every micro-batch. epoch_floor
+                    # (min epoch ever applied) bounds the fold from below:
+                    # without it a table whose feed starts at epoch N>0
+                    # would treat every epoch < N as already-applied and
+                    # silently no-op a late delivery of one.
+                    "epoch_floor": None,
                     "epoch_watermark": -(10**18),
                     "epochs": [],
                     "epochs_applied": 0,
@@ -114,18 +119,22 @@ class TargetTable:
     # -- epoch idempotency (exactly-once) ------------------------------------
 
     def has_epoch(self, epoch: int, state: dict | None = None) -> bool:
-        st = state or self.state()
-        return epoch <= st.get("epoch_watermark", -(10**18)) or epoch in st["epochs"]
+        floor, w, sparse = self.applied_epochs(state)
+        return epoch in sparse or (floor is not None and floor <= epoch <= w)
 
-    def applied_epochs(self, state: dict | None = None) -> tuple[int, set[int]]:
-        """(watermark, sparse later epochs): applied ⇔ e <= watermark or
-        e in the sparse set."""
+    def applied_epochs(self, state: dict | None = None) -> tuple[int | None, int, set[int]]:
+        """(floor, watermark, sparse): applied ⇔ floor <= e <= watermark
+        or e in the sparse set."""
         st = state or self.state()
-        return st.get("epoch_watermark", -(10**18)), set(st["epochs"])
+        return (
+            st.get("epoch_floor"),
+            st.get("epoch_watermark", -(10**18)),
+            set(st["epochs"]),
+        )
 
     def max_epoch(self, state: dict | None = None) -> int | None:
         st = state or self.state()
-        w, sparse = self.applied_epochs(st)
+        _, w, sparse = self.applied_epochs(st)
         if sparse:
             return max(sparse)
         return None if w <= -(10**18) else w
@@ -269,6 +278,9 @@ class TargetTable:
                 "version": st["version"] + 1,
                 "kind": "delta",
                 "delta_epochs": st["delta_epochs"] + [epoch],
+                "epoch_floor": epoch
+                if st.get("epoch_floor") is None
+                else min(st["epoch_floor"], epoch),
                 "epochs": sorted(set(st["epochs"]) | {epoch}),
                 "epochs_applied": st.get("epochs_applied", 0) + 1,
                 "epoch_stats": {**st.get("epoch_stats", {}),
@@ -306,10 +318,15 @@ class TargetTable:
         outdir = os.path.join(self.path, "base", f"v{new_base:08d}")
         self._write_bucketed(out, outdir)
         # fold the contiguous applied prefix into the watermark so the
-        # epochs list + stats stay O(epochs-since-last-gap), not O(all)
+        # epochs list + stats stay O(epochs-since-last-gap), not O(all);
+        # the fold starts at epoch_floor, never below it (a feed starting
+        # at epoch N>0 must not mark epochs < N applied)
+        floor = st.get("epoch_floor")
         w = st.get("epoch_watermark", -(10**18))
+        if floor is not None and w < floor:
+            w = floor - 1
         sparse = sorted(set(st["epochs"]))
-        while sparse and (w <= -(10**18) or sparse[0] <= w + 1):
+        while sparse and sparse[0] <= w + 1:
             w = max(w, sparse.pop(0))
         entry = self._commit(
             {

@@ -84,7 +84,15 @@ def lineage_stats(raw: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("op_type") == "DDL", 1).otherwise(0)).alias("n_ddl"),
             F.sum(F.when(F.col("op_type") == "H", 1).otherwise(0)).alias("n_heartbeat"),
             F.sum(
-                F.when(~F.col("op_type").isin("I", "U", "D", "DDL", "H"), 1).otherwise(0)
+                # NULL op_type (e.g. a malformed Kafka message decoded by
+                # from_json to an all-NULL row) must count as unknown:
+                # under three-valued logic ~isin(NULL) is NULL, which
+                # F.when treats as false — so test NULL explicitly
+                F.when(
+                    F.col("op_type").isNull()
+                    | ~F.col("op_type").isin("I", "U", "D", "DDL", "H"),
+                    1,
+                ).otherwise(0)
             ).alias("n_unknown"),
             F.collect_list(ddl_evt).alias("ddl_events"),
         )
@@ -269,16 +277,37 @@ def stream(
     lineage_dir = os.path.join(table_path, "_lineage")
 
     def handle(bdf: DataFrame, _bid: int) -> None:
-        epochs = [r["epoch"] for r in bdf.select("epoch").distinct().collect()]
-        watermark, sparse = table.applied_epochs()
+        # one tiny job: epochs present in this micro-batch + how many
+        # distinct segment files fed each (file-source provenance via
+        # input_file_name) — lets us refuse an incomplete segment BEFORE
+        # its partial contents commit, instead of poisoning the table and
+        # only detecting the split on the next micro-batch
+        seen = {
+            r["epoch"]: r["n_files"]
+            for r in bdf.select("epoch", F.input_file_name().alias("_file"))
+            .groupBy("epoch")
+            .agg(F.countDistinct("_file").alias("n_files"))
+            .collect()
+        }
+        expected = list_segments(binlog_dir)
+        floor, watermark, sparse = table.applied_epochs()
         latest = table.max_epoch()
-        for e in sorted(epochs):
-            applied = e <= watermark or e in sparse
+        for e in sorted(seen):
+            applied = e in sparse or (floor is not None and floor <= e <= watermark)
             if not applied and latest is not None and e != latest + 1:
                 raise RuntimeError(
                     f"out-of-order segment delivery: epoch {e} arrived but "
                     f"the latest applied epoch is {latest}; binlog "
                     "segments must be delivered in epoch order"
+                )
+            n_expected = len(expected.get(e, []))
+            if not applied and seen[e] < n_expected:
+                raise RuntimeError(
+                    f"incomplete segment delivery: epoch {e} arrived with "
+                    f"{seen[e]}/{n_expected} files — the trigger limit "
+                    "split an epoch across micro-batches; refusing to "
+                    "commit a partial epoch (raise maxFilesPerTrigger to "
+                    ">= files per segment)"
                 )
             # applied epochs still go through apply_batch: it no-ops on a
             # true redelivery but fails loudly if this delivery's contents

@@ -26,3 +26,28 @@ def test_json_roundtrip_matches_parquet_feed(spark, small_binlog):
     assert len(orig_rows) == len(dec_rows)
     for o, d in zip(orig_rows, dec_rows):
         assert o.asDict(recursive=True) == d.asDict(recursive=True)
+
+
+def test_malformed_message_fails_unknown_op_guard(spark, small_binlog, tmp_path):
+    """A malformed Kafka message decodes to an all-NULL row; the NULL
+    op_type must count as unknown and fail the batch (data loss would be
+    silent otherwise — round-1 ADVICE finding: ~isin(NULL) is NULL under
+    three-valued logic, so the old guard counted 0)."""
+    import pytest
+
+    from cdc_spark.sinks.target import TargetTable
+    from cdc_spark.streaming.pipeline import apply_batch
+
+    seg = sorted(glob.glob(f"{small_binlog}/segment-*.parquet"))[0]
+    original = read_changes(spark, seg).limit(5)
+    wire = original.select(
+        F.to_json(F.struct(*original.columns)).cast("binary").alias("value")
+    )
+    garbage = spark.createDataFrame([("not json at all",)], "value string").select(
+        F.col("value").cast("binary").alias("value")
+    )
+    decoded = decode_json_changes(wire.unionByName(garbage))
+    table = TargetTable(str(tmp_path / "t"))
+    table.create_if_absent()
+    with pytest.raises(ValueError, match="unknown op_type"):
+        apply_batch(spark, table, decoded, epoch=0)

@@ -15,6 +15,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from cdc_spark.caching import release_persisted  # noqa: E402
 from cdc_spark.session import get_spark  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -50,6 +51,8 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            release_persisted()  # query-scoped self-join caches
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.monotonic()-t0:.1f}s)")
             continue
