@@ -284,10 +284,13 @@ def _q_emb_topk_lsh(spark, sf):
 
 
 def _q_emb_topk_ivf(spark, sf):
+    from cdc_spark.functions.ivf_centroids import FIXED_CENTROIDS
     from cdc_spark.functions.similarity import ivf_topk
 
     e = _load(spark, sf, "embeddings")
-    return ivf_topk(e, _query_vec(spark, sf), k=10)
+    # frozen quantizer artifact (100-TB shape: trained offline once);
+    # also what makes this approximate path exactly SQL-oracle-able
+    return ivf_topk(e, _query_vec(spark, sf), k=10, centroids=FIXED_CENTROIDS)
 
 
 def _docs_with_variants(spark, sf) -> DataFrame:
@@ -351,19 +354,13 @@ def _q_bpe_tokens(spark, sf):
 
 
 def _q_emb_near_dup_exact(spark, sf):
-    from cdc_spark.functions.similarity import cosine
+    from cdc_spark.functions.similarity import exact_pairs_blocked
 
     e = _load(spark, sf, "embeddings").select("vec_id", "embedding")
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.4)
-    )
+    # exact twin of emb_near_dup_lsh: O(n²) compute is inherent to exact
+    # all-pairs, but grid blocking turns it into B(B+1)/2 evenly-sized
+    # equi-join tasks — no CartesianProduct node anywhere in the contract
+    return exact_pairs_blocked(e, threshold=0.4, n_blocks=16)
 
 
 def _q_emb_near_dup_lsh(spark, sf):
@@ -533,6 +530,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from cdc_spark.functions.dedup import sql_rolling_fingerprint, sql_simhash_query
+    from cdc_spark.functions.ivf_centroids import FIXED_CENTROIDS as _FIXED_CENTROIDS
+    from cdc_spark.functions.similarity import (
+        sql_all_pairs_lsh,
+        sql_ivf_topk,
+        sql_lsh_topk,
+    )
 
     sw = lambda w: f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t = '{w}'))"  # noqa: E731
     langs = {
@@ -715,8 +718,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
-        # emb_cosine_topk_lsh, emb_near_dup_lsh (approximate) and
-        # cdc_replay_final_state (full engine replay): rows-only
+        # approximate ANN paths: deterministic given the seeded
+        # hyperplanes / frozen centroids, so exactly oracle-able — the
+        # SQL embeds the same literals the Spark plans use
+        "emb_cosine_topk_lsh": sql_lsh_topk(dim=64, k=10, n_planes=12, max_hamming=2),
+        "emb_near_dup_lsh": sql_all_pairs_lsh(dim=64, threshold=0.4, n_planes=8),
+        "emb_cosine_topk_ivf": sql_ivf_topk(_FIXED_CENTROIDS, k=10, n_probe=4),
+        # cdc_replay_final_state (full engine replay) and
+        # cdc_streaming_source_stats (stateful stream): rows-only
     }
 
 

@@ -129,14 +129,30 @@ def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> n
 def _nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
     """Argmin-distance cluster id as a pure column expression: an array
     of (dist, idx) structs reduced by array_min (lexicographic → min
-    dist, ties to lowest idx). JVM-side; no UDF."""
+    dist, ties to lowest idx). JVM-side; no UDF.
+
+    Distances are rounded to 6 decimals before the argmin so the
+    assignment is reproducible across engines (the DuckDB oracle
+    computes dist² as |v|²−2v·c+|c|², a different float association
+    order; rounding absorbs the last-ulp differences and idx breaks
+    the resulting exact ties deterministically)."""
     entries = []
     for i, c in enumerate(centroids):
         cl = F.array(*[F.lit(float(x)) for x in c])
         diff = F.zip_with(vec, cl, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
-        dist = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v)
+        dist = F.round(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v), 6)
         entries.append(F.struct(dist.alias("dist"), F.lit(i).alias("idx")))
     return F.array_min(F.array(*entries))["idx"]
+
+
+def _probe_clusters(centroids: np.ndarray, query_vec, n_probe: int) -> list[int]:
+    """The n_probe centroid indices nearest the query, ordered by
+    (dist² rounded to 6 decimals, idx) — same comparator as
+    `_nearest_centroid` and the SQL twin."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = np.round(((centroids - q[None, :]) ** 2).sum(axis=1), 6)
+    order = np.lexsort((np.arange(len(centroids)), d2))
+    return [int(i) for i in order[:n_probe]]
 
 
 def ivf_topk(
@@ -150,19 +166,26 @@ def ivf_topk(
     fit_sample: int = 2048,
     seed: int = 42,
     round_to: int = 4,
+    centroids: np.ndarray | list | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: k-means coarse quantizer → probe only the
     `n_probe` clusters nearest the query → exact cosine rank on those
     candidates. The scan prunes (1 - n_probe/n_clusters) of the table;
     at scale the cluster id is precomputed+partitioned-by at write time
-    so probing touches only matching partitions (partition pruning)."""
-    sample = np.array(
-        [r[vec_col] for r in df.select(vec_col).limit(fit_sample).collect()],
-        dtype=np.float64,
-    )
-    centroids = _kmeans_fit(sample, n_clusters, seed=seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    probe = np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1))[:n_probe].tolist()
+    so probing touches only matching partitions (partition pruning).
+
+    Pass `centroids` to use a frozen, pre-trained quantizer (the 100-TB
+    deployment shape — see functions/ivf_centroids.py); otherwise a
+    quantizer is fit on a bounded sample of `df`."""
+    if centroids is None:
+        sample = np.array(
+            [r[vec_col] for r in df.select(vec_col).limit(fit_sample).collect()],
+            dtype=np.float64,
+        )
+        centroids = _kmeans_fit(sample, n_clusters, seed=seed)
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
+    probe = _probe_clusters(centroids, query_vec, n_probe)
 
     assigned = df.withColumn("_cluster", _nearest_centroid(F.col(vec_col), centroids))
     cand = assigned.filter(F.col("_cluster").isin([int(p) for p in probe]))
@@ -227,8 +250,7 @@ def ivf_index_topk(
 
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = np.array(json.load(f))
-    q = np.asarray(query_vec, dtype=np.float64)
-    probe = np.argsort(((centroids - q[None, :]) ** 2).sum(axis=1))[:n_probe].tolist()
+    probe = _probe_clusters(centroids, query_vec, n_probe)
     cand = spark.read.parquet(path).filter(
         F.col("_cluster").isin([int(p) for p in probe])
     )
@@ -270,3 +292,154 @@ def all_pairs_above(
         F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_to).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def exact_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 16,
+    round_to: int = 4,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold with no CartesianProduct node:
+    grid ("theta-join") blocking. Rows hash into `n_blocks` blocks by id;
+    a tiny broadcast table enumerates the B(B+1)/2 unordered block pairs;
+    each side replicates to its matching block pairs and the comparison
+    becomes one shuffled EQUI-join on (bi, bj).
+
+    Scale shape: total comparisons are still O(n²) — inherent to exact
+    all-pairs — but the plan is B(B+1)/2 evenly-sized shuffle partitions
+    instead of one driver-fed cartesian; raise n_blocks with data volume
+    (each side shuffles ~(B+1)/2 replicas). The approximate version of
+    this operator is `all_pairs_above` (LSH blocking, no n²)."""
+    spark = df.sparkSession
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    s = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    # replicate each side to its matching block pairs (broadcast joins),
+    # then meet on the composite (bi, bj) key — a plain shuffled equi-join
+    # with B(B+1)/2 distinct keys, i.e. that many evenly-sized pair-tasks
+    a = s.alias("a").join(F.broadcast(bp), F.col("a._blk") == F.col("bi"))
+    b = s.alias("b").join(F.broadcast(bp), F.col("b._blk") == F.col("bj"))
+    joined = a.join(b, on=["bi", "bj"])
+    keep = (F.col("bi") < F.col("bj")) | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    scored = joined.filter(keep).select(
+        F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+        F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_to).alias("cos_sim"),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
+# -- DuckDB oracle twins (contract SQL generators) ---------------------------
+#
+# The approximate paths are deterministic dot products over fixed
+# literals (seeded hyperplanes / frozen centroids), so their oracle SQL
+# is generated here from the SAME constants the Spark plans use.
+
+
+def _sql_arr(vals) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def _sql_cosine(a: str, b: str, round_to: int = 4) -> str:
+    return (
+        f"round({_sql_dot(a, b)} / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})), {round_to})"
+    )
+
+
+def sql_hyperplane_sig(emb: str, dim: int, n_planes: int, seed: int = 42) -> str:
+    """DuckDB expression equal to `hyperplane_signature` (same plane
+    literals, bit i = sign of the plane dot product)."""
+    terms = [
+        f"(CASE WHEN {_sql_dot(emb, _sql_arr(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_planes(dim, n_planes, seed))
+    ]
+    return "(" + "\n + ".join(terms) + ")"
+
+
+def sql_lsh_topk(
+    dim: int, k: int = 10, n_planes: int = 12, seed: int = 42, max_hamming: int = 2
+) -> str:
+    """Oracle twin of `lsh_topk` over the embeddings view (query = vec_id 0)."""
+    sig_e = sql_hyperplane_sig("e.embedding", dim, n_planes, seed)
+    sig_q = sql_hyperplane_sig("q.qe", dim, n_planes, seed)
+    return f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        qs AS (SELECT {sig_q} AS qsig FROM q),
+        cand AS (
+            SELECT e.vec_id, e.embedding
+            FROM embeddings e CROSS JOIN qs
+            WHERE bit_count(xor(CAST({sig_e} AS BIGINT), CAST(qs.qsig AS BIGINT))) <= {max_hamming}
+        )
+        SELECT c.vec_id, {_sql_cosine('c.embedding', 'q.qe')} AS cos_sim
+        FROM cand c CROSS JOIN q
+        ORDER BY cos_sim DESC, c.vec_id ASC LIMIT {k}
+    """
+
+
+def sql_all_pairs_lsh(dim: int, threshold: float, n_planes: int = 8, seed: int = 42) -> str:
+    """Oracle twin of `all_pairs_above`: same-signature blocking then
+    exact cosine filter."""
+    sig = sql_hyperplane_sig("embedding", dim, n_planes, seed)
+    cos = _sql_cosine("a.embedding", "b.embedding")
+    return f"""
+        WITH s AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+        FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE {cos} >= {threshold}
+    """
+
+
+def sql_ivf_topk(centroids, k: int = 10, n_probe: int = 4) -> str:
+    """Oracle twin of `ivf_topk(centroids=...)`: assignment = argmin of
+    dist² computed as |v|²−2v·c+|c|² rounded to 6 decimals (ties → lowest
+    idx, matching `_nearest_centroid`), probe = same comparator vs the
+    query vector."""
+    cent = np.asarray(centroids, dtype=np.float64)
+    values = ",\n            ".join(
+        f"({i}, {_sql_arr(c)})" for i, c in enumerate(cent)
+    )
+    d2 = (
+        "round({dot_vv} - 2 * {dot_vc} + {dot_cc}, 6)".format(
+            dot_vv=_sql_dot("{v}", "{v}"), dot_vc=_sql_dot("{v}", "c.c"),
+            dot_cc=_sql_dot("c.c", "c.c"),
+        )
+    )
+    d2_e = d2.replace("{v}", "e.embedding")
+    d2_q = d2.replace("{v}", "q.qe")
+    return f"""
+        WITH cent(idx, c) AS (VALUES
+            {values}
+        ),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        probe AS (
+            SELECT c.idx FROM cent c CROSS JOIN q
+            ORDER BY {d2_q}, c.idx LIMIT {n_probe}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, idx AS cl FROM (
+                SELECT e.vec_id, e.embedding, c.idx,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id ORDER BY {d2_e}, c.idx
+                       ) AS rn
+                FROM embeddings e CROSS JOIN cent c
+            ) WHERE rn = 1
+        )
+        SELECT a.vec_id, {_sql_cosine('a.embedding', 'q.qe')} AS cos_sim
+        FROM assigned a CROSS JOIN q
+        WHERE a.cl IN (SELECT idx FROM probe)
+        ORDER BY cos_sim DESC, a.vec_id ASC LIMIT {k}
+    """

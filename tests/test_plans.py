@@ -84,6 +84,27 @@ def test_enrich_join_broadcasts_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_no_cartesian_in_any_contract_query(spark):
+    """No queries() plan may contain a CartesianProduct or
+    BroadcastNestedLoopJoin — the one cartesian of round 1
+    (emb_near_dup_exact) is now grid-blocked into equi-joins.
+
+    cdc_replay_final_state / cdc_streaming_source_stats are excluded:
+    building their DataFrame RUNS the engine (replay / streaming query)
+    whose plans are pinned by their own tests; the returned frame is a
+    small post-hoc result."""
+    import __spark_entry__ as em
+    from cdc_spark.plans.inspect import formatted_plan
+
+    skip = {"cdc_replay_final_state", "cdc_streaming_source_stats"}
+    for name, fn in em.queries().items():
+        if name in skip:
+            continue
+        plan = formatted_plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_topk_plan_has_no_shuffle(spark):
     """brute_force_topk must plan as TakeOrderedAndProject (per-partition
     heaps + driver merge) — no global sort, no exchange."""
