@@ -50,6 +50,9 @@ def main(argv: list[str] | None = None) -> int:
         r.add_argument("--dedupe", default="agg", choices=["agg", "window", "salted"])
         r.add_argument("--normalize", default="expr", choices=["expr", "arrow"])
         r.add_argument("--compact-every", type=int, default=16)
+        r.add_argument("--wire", default="parquet", choices=["parquet", "avro"],
+                       help="segment payload: typed parquet rows, or Avro "
+                            "single-object frames (T6; see avro-encode)")
         if name == "stream":
             r.add_argument("--checkpoint", required=True)
             r.add_argument("--max-files-per-trigger", type=int, default=None,
@@ -65,6 +68,16 @@ def main(argv: list[str] | None = None) -> int:
     cp = sub.add_parser("compact", help="rewrite base, consume deltas (Iceberg rewrite_data_files analogue)")
     cp.add_argument("--table", required=True)
     _add_common(cp)
+
+    ae = sub.add_parser(
+        "avro-encode",
+        help="re-encode a parquet binlog as Avro single-object wire segments "
+             "(harness utility: produces the feed shape a GoldenGate-style "
+             "Avro topic would carry; replay/stream consume it via --wire avro)",
+    )
+    ae.add_argument("--binlog", required=True)
+    ae.add_argument("--out", required=True)
+    _add_common(ae)
 
     bs = sub.add_parser("bootstrap", help="seed the target table from an existing tokens parquet")
     bs.add_argument("--from-parquet", required=True, dest="from_parquet",
@@ -101,13 +114,15 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.binlog, args.table,
                     dedupe_mode=args.dedupe, normalize_impl=args.normalize,
                     compact_every=args.compact_every, stats_out=epoch_stats,
+                    wire=args.wire,
                 )
             else:
                 from cdc_spark.streaming.pipeline import stream
 
                 table = stream(spark, args.binlog, args.table, checkpoint_dir=args.checkpoint,
                                dedupe_mode=args.dedupe,
-                               max_files_per_trigger=args.max_files_per_trigger)
+                               max_files_per_trigger=args.max_files_per_trigger,
+                               wire=args.wire)
             dt = time.monotonic() - t0
             st = table.state()
             n_rows = table.read_resolved(spark).count()
@@ -148,6 +163,30 @@ def main(argv: list[str] | None = None) -> int:
                               "diffs": len(diffs), "ok": not diffs,
                               "sample": diffs[:5]}))
             return 0 if not diffs else 1
+
+        if args.cmd == "avro-encode":
+            import glob as _glob
+            import os
+            import shutil
+
+            from cdc_spark.sources.avro import encode_avro_changes
+            from cdc_spark.sources.binlog import list_segments, read_changes
+
+            os.makedirs(args.out, exist_ok=True)
+            tmp = os.path.join(args.out, "_tmp_encode")
+            n_files = 0
+            for epoch, paths in sorted(list_segments(args.binlog).items()):
+                for p in paths:
+                    wiredf = encode_avro_changes(read_changes(spark, p))
+                    # one wire file per source part, same name → the epoch
+                    # structure (list_segments) is preserved byte-for-byte
+                    wiredf.coalesce(1).write.mode("overwrite").parquet(tmp)
+                    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+                    os.replace(part, os.path.join(args.out, os.path.basename(p)))
+                    n_files += 1
+            shutil.rmtree(tmp, ignore_errors=True)
+            print(json.dumps({"segments": n_files, "out": args.out}))
+            return 0
 
         if args.cmd == "compact":
             from cdc_spark.sinks.target import TargetTable

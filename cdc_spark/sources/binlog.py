@@ -36,21 +36,41 @@ def list_segments(binlog_dir: str) -> dict[int, list[str]]:
     return by_epoch
 
 
-def read_changes(spark: SparkSession, path: str | list[str]) -> DataFrame:
+def read_changes(
+    spark: SparkSession, path: str | list[str], wire: str = "parquet"
+) -> DataFrame:
     """Batch-read change events with the canonical schema (no inference
-    scan — the wire schema is fixed, FIXTURES.md F1)."""
+    scan — the wire schema is fixed, FIXTURES.md F1).
+
+    wire="avro": segments hold (value: binary) single-object Avro frames
+    (sources.avro wire format, T6); decoded via the Arrow kernel."""
     paths = [path] if isinstance(path, str) else path
+    if wire == "avro":
+        from cdc_spark.sources.avro import decode_avro_changes
+
+        raw = spark.read.schema("value binary").parquet(*paths)
+        return decode_avro_changes(raw, impl="python")
     return spark.read.schema(CHANGE_SCHEMA).parquet(*paths)
 
 
 def stream_reader(
-    spark: SparkSession, binlog_dir: str, max_files_per_trigger: int | None = None,
+    spark: SparkSession,
+    binlog_dir: str,
+    max_files_per_trigger: int | None = None,
+    wire: str = "parquet",
 ) -> DataFrame:
     """Structured Streaming reader over the segment directory; offsets
     live in the query checkpoint (fixes the reference's driver-memory
     offsets, CTInputDStream.java:60-62,96-97 — S6). The trigger limit is
     the rate-limiting knob (reference: maxRatePerPartition,
     GoldenGateKafkaConfig.java:54-62 — S9)."""
+    if wire == "avro":
+        from cdc_spark.sources.avro import decode_avro_changes
+
+        reader = spark.readStream.schema("value binary")
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return decode_avro_changes(reader.parquet(binlog_dir), impl="python")
     reader = spark.readStream.schema(CHANGE_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

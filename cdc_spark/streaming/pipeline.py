@@ -222,6 +222,7 @@ def replay(
     stop_after: int | None = None,
     compact_every: int = 16,
     stats_out: list | None = None,
+    wire: str = "parquet",
 ) -> TargetTable:
     """Batch replay driver: one apply_batch per segment, in epoch order.
 
@@ -236,7 +237,7 @@ def replay(
     lineage_dir = os.path.join(table_path, "_lineage") if lineage else None
     done = 0
     for epoch in sorted(by_epoch):
-        batch = read_changes(spark, by_epoch[epoch])
+        batch = read_changes(spark, by_epoch[epoch], wire=wire)
         res = apply_batch(
             spark, table, batch, epoch,
             dedupe_mode=dedupe_mode, normalize_impl=normalize_impl, lineage_dir=lineage_dir,
@@ -257,6 +258,7 @@ def stream(
     dedupe_mode: str = "agg",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    wire: str = "parquet",
 ):
     """Structured Streaming driver: readStream over the segment directory,
     foreachBatch → the same apply_batch (reference: DStream pipeline,
@@ -282,9 +284,13 @@ def stream(
         # input_file_name) — lets us refuse an incomplete segment BEFORE
         # its partial contents commit, instead of poisoning the table and
         # only detecting the split on the next micro-batch
+        # empty file names (a non-file source, or provenance lost behind a
+        # mapInPandas decode) → n_files 0 → the completeness check skips
         seen = {
             r["epoch"]: r["n_files"]
-            for r in bdf.select("epoch", F.input_file_name().alias("_file"))
+            for r in bdf.select(
+                "epoch", F.nullif(F.input_file_name(), F.lit("")).alias("_file")
+            )
             .groupBy("epoch")
             .agg(F.countDistinct("_file").alias("n_files"))
             .collect()
@@ -301,7 +307,7 @@ def stream(
                     "segments must be delivered in epoch order"
                 )
             n_expected = len(expected.get(e, []))
-            if not applied and seen[e] < n_expected:
+            if not applied and 0 < seen[e] < n_expected:
                 raise RuntimeError(
                     f"incomplete segment delivery: epoch {e} arrived with "
                     f"{seen[e]}/{n_expected} files — the trigger limit "
@@ -320,7 +326,7 @@ def stream(
             sparse.add(e)
             latest = e if latest is None else max(latest, e)
 
-    reader = stream_reader(spark, binlog_dir, max_files_per_trigger)
+    reader = stream_reader(spark, binlog_dir, max_files_per_trigger, wire=wire)
     writer = (
         reader.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
