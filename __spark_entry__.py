@@ -53,9 +53,9 @@ def _replay_flagship(spark: SparkSession, sf_dir: str, n_events: int = 10_000) -
         write_binlog(cfg, f"{work}/binlog")
         table = replay(spark, f"{work}/binlog", f"{work}/table", lineage=False)
         out = table.read_resolved(spark)
-        # materialize before the tmpdir vanishes
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        # materialize executor-side before the tmpdir vanishes (no
+        # driver-side collect of data rows)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -474,6 +474,58 @@ def _q_streaming_stats(spark, sf):
     return spark.createDataFrame(sorted(final.values(), key=lambda d: d["source"]))
 
 
+def _q_multi_table_route(spark, sf):
+    """Multi-table routing semantics on the events table (event_type as
+    the routed table): per-table LWW-resolved row count + lsn watermark —
+    the per-table summary apply_batch_multi maintains, SQL-oracled."""
+    ev = _load(spark, sf, "events")
+    resolved = ev.groupBy("event_type", "user_id").agg(
+        F.max("event_id").alias("last_event_id")
+    )
+    return resolved.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("last_event_id").alias("max_lsn"),
+    )
+
+
+_MT_SCHEDULE = (
+    (0.20, "add_column", {"name": "quality", "type": "float"}, 0),
+    (0.40, "add_column", {"name": "rating", "type": "int"}, 1),
+    (0.60, "drop_column", {"name": "rating"}, 1),
+    (0.80, "add_column", {"name": "rating", "type": "long"}, 1),
+)
+
+
+def _q_multi_table_replay(spark, sf):
+    """Engine drive: a 2-table binlog (with a drop+re-add on one table)
+    replayed through apply_batch_multi; returns per-table final summary."""
+    from cdc_spark.genlog import GenConfig, write_binlog
+    from cdc_spark.streaming.pipeline import replay_multi
+
+    tables = ("corpus.tokens", "corpus.aux")
+    work = tempfile.mkdtemp(prefix="cdc_mt_")
+    try:
+        cfg = GenConfig(
+            n_events=6_000, n_docs=400, events_per_epoch=1_500, seed=42,
+            tables=tables, ddl_schedule=_MT_SCHEDULE,
+        )
+        write_binlog(cfg, f"{work}/binlog")
+        router = replay_multi(spark, f"{work}/binlog", f"{work}/root", lineage=False)
+        per = []
+        for name in tables:
+            per.append(
+                router.get(name).read_resolved(spark).agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.max("last_lsn").alias("max_lsn"),
+                    F.sum("n_tok").alias("sum_n_tok"),
+                ).withColumn("table", F.lit(name))
+            )
+        out = per[0].unionByName(per[1])
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_replay_final(spark, sf):
     df = _replay_flagship(spark, sf, n_events=10_000)
     # token arrays hashed as their sum+len to keep the rows-only check light
@@ -501,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_union": _q_union,                       # O1 DDL∪DML
         "cdc_hot_keys": _q_hot_keys,                 # §4.3 skew histogram
         "cdc_epoch_lineage": _q_epoch_lineage,       # F3 per-epoch lineage
+        "cdc_multi_table_route": _q_multi_table_route,  # per-table dispatch semantics
         # training-data pipeline ops
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -525,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "cdc_streaming_source_stats": _q_streaming_stats,
         "cdc_replay_final_state": _q_replay_final,
+        "cdc_multi_table_replay": _q_multi_table_replay,
     }
 
 
@@ -717,6 +771,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "cdc_multi_table_route": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+                   max(last_event_id) AS max_lsn
+            FROM (SELECT event_type, user_id, max(event_id) AS last_event_id
+                  FROM events GROUP BY event_type, user_id) t
+            GROUP BY event_type
         """,
         # approximate ANN paths: deterministic given the seeded
         # hyperplanes / frozen centroids, so exactly oracle-able — the

@@ -60,13 +60,24 @@ ARROW_CHANGE = pa.schema(
     ]
 )
 
-#: Default DDL schedule: (fraction-of-stream, kind, payload-dict).
+#: Default DDL schedule: (fraction-of-stream, kind, payload-dict[, table-idx]).
 #: Exercises all three evolution kinds of the north rule.
 DEFAULT_DDL_SCHEDULE = (
     (0.20, "add_column", {"name": "quality", "type": "float"}),
     (0.35, "add_column", {"name": "rating", "type": "int"}),
     (0.55, "rename_column", {"from": "quality", "to": "quality_score"}),
     (0.75, "widen_column", {"name": "rating", "to": "long"}),
+)
+
+#: Adds drop + re-add (reference drops removed columns, CDCKudu.java:103-106):
+#: `rating` is dropped mid-stream — its values stop riding the feed — then
+#: re-added as a fresh column that only post-re-add events populate.
+DDL_SCHEDULE_WITH_DROP = (
+    (0.15, "add_column", {"name": "quality", "type": "float"}),
+    (0.25, "add_column", {"name": "rating", "type": "int"}),
+    (0.40, "rename_column", {"from": "quality", "to": "quality_score"}),
+    (0.55, "drop_column", {"name": "rating"}),
+    (0.70, "add_column", {"name": "rating", "type": "long"}),
 )
 
 SOURCES = np.array(["wiki", "web", "code", "books", "news"])
@@ -91,37 +102,74 @@ class GenConfig:
     vocab: int = 50_000
     seed: int = 42
     ddl_schedule: tuple = DEFAULT_DDL_SCHEDULE
+    #: event routing targets (reference: per-CT-table processing,
+    #: CTInputDStream.java:65-99); single-table configs are byte-identical
+    #: to the pre-multi-table generator
+    tables: tuple = (TABLE_NAME,)
 
     @property
     def n_epochs(self) -> int:
         return (self.n_events + self.events_per_epoch - 1) // self.events_per_epoch
 
 
-def ddl_events(cfg: GenConfig) -> list[tuple[int, str, str]]:
-    """Resolved DDL schedule as (lsn, kind, payload_json); lsns unique.
+def ddl_events(cfg: GenConfig) -> list[tuple[int, str, str, int]]:
+    """Resolved DDL schedule as (lsn, kind, payload_json, table_idx);
+    lsns unique. 3-element schedule entries target table 0.
 
     DML lsns are 1-based dense; a DDL event takes over the lsn of the DML
     slot it displaces (collisions bump forward by one)."""
-    seen: dict[int, tuple[int, str, str]] = {}
-    for frac, kind, payload in cfg.ddl_schedule:
+    seen: dict[int, tuple[int, str, str, int]] = {}
+    for entry in cfg.ddl_schedule:
+        frac, kind, payload = entry[:3]
+        ti = entry[3] if len(entry) > 3 else 0
         lsn = max(1, min(cfg.n_events, int(cfg.n_events * frac)))
         while lsn in seen:
             lsn += 1
-        seen[lsn] = (lsn, kind, json.dumps(payload, sort_keys=True))
+        seen[lsn] = (lsn, kind, json.dumps(payload, sort_keys=True), ti)
     return sorted(seen.values())
 
 
-def added_extras(cfg: GenConfig) -> list[tuple[int, str]]:
-    """(add_lsn, source_key) for every add_column in the schedule.
+def extra_windows(cfg: GenConfig) -> list[tuple[int, int | None, str]]:
+    """(add_lsn, end_lsn-or-None, source_key) emission windows for extra
+    values: a value rides DML events with add_lsn < lsn (< end_lsn when
+    the column was later dropped — the source stops emitting a dropped
+    column, and a re-add opens a fresh window).
 
     Source keys never change on rename: the feed keeps emitting the
     original field name; rename applies to the *target* table only
-    (mirrors GoldenGate, where the trail schema is source-side)."""
-    out = []
-    for lsn, kind, pj in ddl_events(cfg):
+    (mirrors GoldenGate, where the trail schema is source-side). Drops
+    resolve by simulating each table's registry over the schedule."""
+    regs: dict[int, list[dict]] = {}
+    out: list[list] = []
+    for lsn, kind, pj, ti in ddl_events(cfg):
+        p = json.loads(pj)
+        cols = regs.setdefault(ti, [])
         if kind == "add_column":
-            out.append((lsn, json.loads(pj)["name"]))
-    return out
+            out.append([lsn, None, p["name"]])
+            cols.append({"target": p["name"], "win": len(out) - 1})
+        elif kind == "rename_column":
+            for c in cols:
+                if c["target"] == p["from"]:
+                    c["target"] = p["to"]
+                    break
+        elif kind == "drop_column":
+            for i, c in enumerate(cols):
+                if c["target"] == p["name"]:
+                    out[c["win"]][1] = lsn
+                    cols.pop(i)
+                    break
+    # overlapping windows for one key would build maps with duplicate keys
+    open_spans: dict[str, int] = {}
+    for a, e, k in sorted(out):
+        if k in open_spans and (open_spans[k] is None or a < open_spans[k]):
+            raise ValueError(f"overlapping extra-value windows for key {k!r}")
+        open_spans[k] = e
+    return [tuple(w) for w in out]
+
+
+def added_extras(cfg: GenConfig) -> list[tuple[int, str]]:
+    """(add_lsn, source_key) per add_column (window starts)."""
+    return [(a, k) for a, _e, k in extra_windows(cfg)]
 
 
 def _doc_strs(idx: np.ndarray) -> pa.Array:
@@ -155,13 +203,14 @@ def _payload_arrays(
     lsns: np.ndarray,
     doc_idx: np.ndarray,
     valid: np.ndarray,
-    extra_keys: list[tuple[int, str]],
+    extra_keys: list[tuple[int, int | None, str]],
 ) -> pa.StructArray:
     """Payload StructArray; rows where ~valid are null structs.
 
-    Extra-column values appear only on events with lsn strictly greater
-    than the column's add-DDL lsn — so DML touches new columns both in
-    the same epoch as the DDL and in later epochs (SURVEY.md §5.2 #4)."""
+    Extra-column values appear only on events inside the column's
+    emission window (add-DDL lsn, drop-DDL lsn) — so DML touches new
+    columns both in the same epoch as the DDL and in later epochs
+    (SURVEY.md §5.2 #4), and dropped columns vanish from the feed."""
     n = len(doc_idx)
     lens = rng.integers(cfg.tokens_min, cfg.tokens_max + 1, size=n).astype(np.int32)
     lens[~valid] = 0  # parquet forbids non-empty lists under null structs
@@ -179,12 +228,20 @@ def _payload_arrays(
     if extra_keys:
         carry = rng.random((n, len(extra_keys))) < cfg.p_extra_value
         raw = rng.integers(0, 100, size=(n, len(extra_keys)))
-        add_lsns = np.array([al for al, _ in extra_keys], dtype=np.int64)
-        mask = carry & valid[:, None] & (lsns[:, None] > add_lsns[None, :])
+        add_lsns = np.array([al for al, _e, _k in extra_keys], dtype=np.int64)
+        end_lsns = np.array(
+            [np.iinfo(np.int64).max if e is None else e for _a, e, _k in extra_keys],
+            dtype=np.int64,
+        )
+        mask = (
+            carry & valid[:, None]
+            & (lsns[:, None] > add_lsns[None, :])
+            & (lsns[:, None] < end_lsns[None, :])
+        )
         import pyarrow.compute as pc
 
         rows, cols = np.nonzero(mask)
-        is_quality = np.array([k.startswith("quality") for _, k in extra_keys])
+        is_quality = np.array([k.startswith("quality") for _a, _e, k in extra_keys])
         picked = raw[rows, cols]
         # '%.2f' of picked/100 for picked in 0..99 ≡ '0.' + zero-padded
         # 2 digits: picked+100 → '1XX' → replace first char with '0.'
@@ -195,7 +252,7 @@ def _payload_arrays(
         vals = _one_chunk(pc.if_else(pa.array(is_quality[cols]), qual_str, int_str))
         moff = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(mask.sum(axis=1, dtype=np.int32), out=moff[1:])
-        keys = _dict_strs(cols, [k for _, k in extra_keys])
+        keys = _dict_strs(cols, [k for _a, _e, k in extra_keys])
     else:
         moff = np.zeros(n + 1, dtype=np.int32)
         keys = pa.array([], type=pa.string())
@@ -219,7 +276,7 @@ def generate_epoch(cfg: GenConfig, epoch: int) -> pa.Table:
         raise ValueError(f"epoch {epoch} out of range")
     lsns = np.arange(lo, hi + 1, dtype=np.int64)
 
-    ddl_map = {l: (k, pj) for l, k, pj in ddl_events(cfg) if lo <= l <= hi}
+    ddl_map = {l: (k, pj, ti) for l, k, pj, ti in ddl_events(cfg) if lo <= l <= hi}
     is_ddl = np.isin(lsns, np.array(sorted(ddl_map), dtype=np.int64)) if ddl_map else np.zeros(n, bool)
 
     u = rng.random(n)
@@ -240,7 +297,7 @@ def generate_epoch(cfg: GenConfig, epoch: int) -> pa.Table:
     is_u = ops == "U"
     is_d = ops == "D"
 
-    extra_keys = added_extras(cfg)
+    extra_keys = extra_windows(cfg)
     before = _payload_arrays(rng, cfg, lsns, doc_idx, valid=(is_u | is_d), extra_keys=extra_keys)
     after = _payload_arrays(rng, cfg, lsns, after_idx, valid=(is_i | is_u), extra_keys=extra_keys)
 
@@ -278,17 +335,28 @@ def generate_epoch(cfg: GenConfig, epoch: int) -> pa.Table:
     doc_col = pc.if_else(pa.array(is_ddl), pa.scalar(None, pa.string()), _doc_strs(top_doc))
     ddl_kind_np = np.full(n, None, dtype=object)
     ddl_payload_np = np.full(n, None, dtype=object)
-    for l, (k, pj) in ddl_map.items():
+    for l, (k, pj, _ti) in ddl_map.items():
         ddl_kind_np[l - lo] = k
         ddl_payload_np[l - lo] = pj
     ddl_kind = pa.array(ddl_kind_np, type=pa.string())
     ddl_payload = pa.array(ddl_payload_np, type=pa.string())
 
+    if len(cfg.tables) == 1:
+        table_col = pa.array([cfg.tables[0]] * n)
+    else:
+        # drawn LAST (after every existing draw) so single-table configs
+        # stay byte-identical; DML routes uniformly, DDL rows route to
+        # their schedule entry's table
+        tbl_idx = rng.integers(0, len(cfg.tables), size=n)
+        for l, (_k, _pj, ti) in ddl_map.items():
+            tbl_idx[l - lo] = ti
+        table_col = _dict_strs(tbl_idx, list(cfg.tables))
+
     return pa.Table.from_arrays(
         [
             pa.array(lsns),
             pa.array(np.full(n, epoch, dtype=np.int32)),
-            pa.array([TABLE_NAME] * n),
+            table_col,
             pa.array(ops.astype(str), type=pa.string()),
             primary_keys,
             doc_col,

@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--zipf", type=float, default=1.2)
     g.add_argument("--parts", type=int, default=1,
                    help="part files per epoch segment (input-scan parallelism)")
+    g.add_argument("--tables", default=None,
+                   help="comma-separated table names for a multi-table feed "
+                        "(default: the single corpus.tokens table)")
+    g.add_argument("--schedule", default="default", choices=["default", "drop"],
+                   help="DDL schedule: default (add/add/rename/widen) or drop "
+                        "(adds a drop_column + re-add)")
 
     for name in ("replay", "stream"):
         r = sub.add_parser(name, help=f"{name} driver: binlog → target table")
@@ -53,6 +59,10 @@ def main(argv: list[str] | None = None) -> int:
         r.add_argument("--wire", default="parquet", choices=["parquet", "avro"],
                        help="segment payload: typed parquet rows, or Avro "
                             "single-object frames (T6; see avro-encode)")
+        r.add_argument("--multi-table", action="store_true",
+                       help="route events by the `table` column into "
+                            "per-table targets under --table (reference: "
+                            "per-CT-table processing, CTInputDStream.java:65-99)")
         if name == "stream":
             r.add_argument("--checkpoint", required=True)
             r.add_argument("--max-files-per-trigger", type=int, default=None,
@@ -63,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("verify", help="compare final table state vs oracle applier")
     v.add_argument("--binlog", required=True)
     v.add_argument("--table", required=True)
+    v.add_argument("--multi-table", action="store_true")
     _add_common(v)
 
     cp = sub.add_parser("compact", help="rewrite base, consume deltas (Iceberg rewrite_data_files analogue)")
@@ -88,11 +99,20 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
-        from cdc_spark.genlog import GenConfig, write_binlog
+        from cdc_spark.genlog import (
+            DDL_SCHEDULE_WITH_DROP,
+            DEFAULT_DDL_SCHEDULE,
+            TABLE_NAME,
+            GenConfig,
+            write_binlog,
+        )
 
         cfg = GenConfig(
             n_events=args.events, n_docs=args.docs, events_per_epoch=args.epoch_size,
             seed=args.seed, zipf_s=args.zipf,
+            tables=tuple(args.tables.split(",")) if args.tables else (TABLE_NAME,),
+            ddl_schedule=DDL_SCHEDULE_WITH_DROP if args.schedule == "drop"
+            else DEFAULT_DDL_SCHEDULE,
         )
         t0 = time.monotonic()
         paths = write_binlog(cfg, args.out, parts=args.parts)
@@ -104,6 +124,36 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(master=args.master, shuffle_partitions=args.shuffle_partitions)
     try:
+        if args.cmd in ("replay", "stream") and args.multi_table:
+            t0 = time.monotonic()
+            if args.cmd == "replay":
+                from cdc_spark.streaming.pipeline import replay_multi
+
+                router = replay_multi(
+                    spark, args.binlog, args.table,
+                    dedupe_mode=args.dedupe, normalize_impl=args.normalize,
+                    compact_every=args.compact_every, wire=args.wire,
+                )
+            else:
+                from cdc_spark.streaming.pipeline import stream
+
+                router = stream(spark, args.binlog, args.table,
+                                checkpoint_dir=args.checkpoint,
+                                dedupe_mode=args.dedupe,
+                                max_files_per_trigger=args.max_files_per_trigger,
+                                wire=args.wire, multi=True)
+            out = {}
+            for name in router.names():
+                t = router.get(name)
+                out[name] = {
+                    "final_rows": t.read_resolved(spark).count(),
+                    "version": t.state()["version"],
+                    "registry": t.state()["registry"],
+                }
+            print(json.dumps({"seconds": round(time.monotonic() - t0, 2),
+                              "tables": out}))
+            return 0
+
         if args.cmd in ("replay", "stream"):
             t0 = time.monotonic()
             epoch_stats: list = []
@@ -140,25 +190,46 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.cmd == "verify":
             from cdc_spark import oracle
-            from cdc_spark.sinks.target import TargetTable
+            from cdc_spark.sinks.target import TableRouter, TargetTable
+
+            def _diff(expected: dict, actual: dict, prefix: str = "") -> list[str]:
+                diffs = []
+                for k in set(expected) | set(actual):
+                    if k not in expected or k not in actual:
+                        diffs.append(f"{prefix}{k}")
+                        continue
+                    o, e = expected[k], actual[k]
+                    for col, ov in o.items():
+                        ev = e.get(col)
+                        if col == "tokens":
+                            ov = list(ov) if ov is not None else None
+                            ev = list(ev) if ev is not None else None
+                        if ov != ev:
+                            diffs.append(f"{prefix}{k}.{col}")
+                return diffs
+
+            if args.multi_table:
+                by_table = oracle.replay_tables(f"{args.binlog}/segment-*.parquet")
+                router = TableRouter(args.table)
+                diffs, n_oracle, n_engine = [], 0, 0
+                for name, (state, reg) in sorted(by_table.items()):
+                    expected = {r["doc_id"]: r for r in oracle.final_rows(state, reg)}
+                    actual = {r["doc_id"]: r.asDict()
+                              for r in router.get(name).read_resolved(spark).collect()}
+                    n_oracle += len(expected)
+                    n_engine += len(actual)
+                    diffs += _diff(expected, actual, prefix=f"{name}/")
+                print(json.dumps({"tables": sorted(by_table),
+                                  "rows_oracle": n_oracle, "rows_engine": n_engine,
+                                  "diffs": len(diffs), "ok": not diffs,
+                                  "sample": diffs[:5]}))
+                return 0 if not diffs else 1
 
             state, reg = oracle.replay(f"{args.binlog}/segment-*.parquet")
             expected = {r["doc_id"]: r for r in oracle.final_rows(state, reg)}
             table = TargetTable(args.table)
             actual = {r["doc_id"]: r.asDict() for r in table.read_resolved(spark).collect()}
-            diffs = []
-            for k in set(expected) | set(actual):
-                if k not in expected or k not in actual:
-                    diffs.append(k)
-                    continue
-                o, e = expected[k], actual[k]
-                for col, ov in o.items():
-                    ev = e.get(col)
-                    if col == "tokens":
-                        ov = list(ov) if ov is not None else None
-                        ev = list(ev) if ev is not None else None
-                    if ov != ev:
-                        diffs.append(f"{k}.{col}")
+            diffs = _diff(expected, actual)
             print(json.dumps({"rows_oracle": len(expected), "rows_engine": len(actual),
                               "diffs": len(diffs), "ok": not diffs,
                               "sample": diffs[:5]}))

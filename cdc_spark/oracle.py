@@ -65,6 +65,12 @@ class Registry:
                     c["type"] = p["to"]
                     return
             raise KeyError(f"widen: no column {p['name']}")
+        elif kind == "drop_column":
+            for i, c in enumerate(self.cols):
+                if c["target"] == p["name"]:
+                    self.cols.pop(i)
+                    return
+            raise KeyError(f"drop: no column {p['name']}")
         else:
             raise ValueError(f"unknown ddl_kind {kind}")
 
@@ -100,15 +106,18 @@ def _merged_image(ev: dict) -> dict:
     return img
 
 
-def replay(segments: list[str] | str) -> tuple[dict, Registry]:
-    """Replay segments (paths or glob) → (state dict, registry).
+def replay_tables(segments: list[str] | str) -> dict[str, tuple[dict, Registry]]:
+    """Replay segments (paths or glob) routing by the `table` column →
+    {table_name: (state dict, registry)}.
 
     State values: {tokens, n_tok, source, extra(raw str map), last_lsn}.
-    """
+    A drop_column is data loss by design (reference CDCKudu.java:103-106):
+    the dropped column's values are purged from every live row, so a
+    later re-add starts from nulls — matching the engine's compaction
+    rewrite."""
     if isinstance(segments, str):
         segments = sorted(glob.glob(segments))
-    state: dict[str, dict] = {}
-    reg = Registry()
+    out: dict[str, tuple[dict, Registry]] = {}
     last_lsn = -1
     for seg in segments:
         tbl = pq.read_table(seg)
@@ -118,7 +127,15 @@ def replay(segments: list[str] | str) -> tuple[dict, Registry]:
             op = ev["op_type"]
             if op == "H":  # heartbeat: no state effect (T10)
                 continue
+            state, reg = out.setdefault(ev["table"], ({}, Registry()))
             if op == "DDL":
+                if ev["ddl_kind"] == "drop_column":
+                    key = next(
+                        c["source_key"] for c in reg.cols
+                        if c["target"] == json.loads(ev["ddl_payload"])["name"]
+                    )
+                    for r in state.values():
+                        r["extra"].pop(key, None)
                 reg.apply(ev["ddl_kind"], ev["ddl_payload"])
                 continue
             if op not in ("I", "U", "D"):
@@ -134,7 +151,18 @@ def replay(segments: list[str] | str) -> tuple[dict, Registry]:
                     state.pop(b["doc_id"], None)  # PK change: D(old) + I(new)
             doc_id = (ev["after"] or {})["doc_id"]
             state[doc_id] = {**img, "last_lsn": ev["lsn"]}
-    return state, reg
+    return out
+
+
+def replay(segments: list[str] | str) -> tuple[dict, Registry]:
+    """Single-table replay (the common fixture shape); raises if the
+    feed routes to more than one table — use replay_tables then."""
+    by_table = replay_tables(segments)
+    if len(by_table) > 1:
+        raise ValueError(f"multi-table feed {sorted(by_table)}; use replay_tables")
+    if not by_table:
+        return {}, Registry()
+    return next(iter(by_table.values()))
 
 
 def final_rows(state: dict, reg: Registry) -> list[dict]:

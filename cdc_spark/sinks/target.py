@@ -182,7 +182,21 @@ class TargetTable:
         if kind == "add_column":
             if p["type"] not in SPARK_TYPE:
                 raise ValueError(f"unsupported column type {p['type']}")
-            reg.append({"target": p["name"], "source_key": p["name"], "type": p["type"]})
+            # add_lsn: only events newer than the add may supply values.
+            # Without it, the two-phase DDL-before-DML barrier lets a
+            # mid-epoch drop+re-add leak pre-drop values into the
+            # re-added column (projection masks on it; pipeline
+            # project_to_table) — the set-based equivalent of the
+            # reference's strict in-epoch DDL/DML ordering
+            # (CTSQLServer.java:108-114).
+            try:
+                add_lsn = int(ddl_id.rsplit(":", 1)[1])
+            except (IndexError, ValueError):
+                add_lsn = -1
+            reg.append({
+                "target": p["name"], "source_key": p["name"], "type": p["type"],
+                "add_lsn": add_lsn,
+            })
             self._commit(
                 {
                     **st,
@@ -205,6 +219,19 @@ class TargetTable:
             if (hit[0]["type"], p["to"]) not in WIDENINGS:
                 raise ValueError(f"illegal widening {hit[0]['type']}→{p['to']}")
             hit[0]["type"] = p["to"]
+        elif kind == "drop_column":
+            # data loss by design (reference CDCKudu.java:103-106): the
+            # compaction rewrite below omits the column from every file,
+            # so a later re-add of the same name starts from nulls
+            hit = [c for c in reg if c["target"] == p["name"]]
+            if not hit:
+                raise KeyError(f"drop: no column {p['name']}")
+            reg.remove(hit[0])
+            self._compact_to(
+                spark, st, reg, extra_ddl=[ddl_id],
+                old_names=[c["target"] for c in reg],
+            )
+            return
         else:
             raise ValueError(f"unknown ddl_kind {kind}")
         # rename/widen rewrite data files under the new registry
@@ -300,17 +327,23 @@ class TargetTable:
         st: dict,
         new_registry: list[dict],
         extra_ddl: list[str] | None = None,
+        old_names: list[str] | None = None,
     ) -> dict:
         """Rewrite base under new_registry; consume all deltas.
 
         Resolution happens under the OLD registry names, then columns are
-        re-projected old-target → new-target positionally (registry order
-        is stable across rename/widen)."""
+        re-projected old-target → new-target. `old_names` (aligned with
+        new_registry) names the old column each new column reads from;
+        default is positional (registry order is stable across
+        rename/widen); a drop passes the surviving names explicitly."""
         old_reg = st["registry"]
+        if old_names is None:
+            assert len(old_reg) == len(new_registry), "need old_names when dropping"
+            old_names = [c["target"] for c in old_reg]
         resolved = self.read_resolved(spark, st)  # old names, tombstones gone
         sel = [F.col(n).alias(n) for n, _ in BASE_FIELDS]
-        for old_c, new_c in zip(old_reg, new_registry):
-            sel.append(F.col(old_c["target"]).cast(SPARK_TYPE[new_c["type"]]).alias(new_c["target"]))
+        for old_name, new_c in zip(old_names, new_registry):
+            sel.append(F.col(old_name).cast(SPARK_TYPE[new_c["type"]]).alias(new_c["target"]))
         sel.append(F.col("last_lsn"))
         out = resolved.select(*sel).withColumn("deleted", F.lit(False))
 
@@ -362,3 +395,47 @@ class TargetTable:
                 p = os.path.abspath(os.path.join(d, child))
                 if p not in live:
                     shutil.rmtree(p, ignore_errors=True)
+
+
+class TableRouter:
+    """Per-table TargetTables under one root — the multi-table sink.
+
+    The reference discovers and processes every CT-enabled table per
+    batch (source/sqlserver/CTInputDStream.java:65-99, per-table schema
+    state CTSQLServer.java:154-172). Here each routed table owns its own
+    journal/registry/data tree at ``root/tables/<name>/`` — schema
+    evolution, exactly-once epochs and compaction are all per-table, so
+    a crash between two tables' commits resumes cleanly (the committed
+    table no-ops, the other applies)."""
+
+    def __init__(self, root: str, compact_every: int = 16, buckets: int = 32):
+        self.root = root
+        self.compact_every = compact_every
+        self.buckets = buckets
+        self._tables: dict[str, TargetTable] = {}
+
+    @staticmethod
+    def _safe(name: str) -> str:
+        out = "".join(c if (c.isalnum() or c in "._-") else "_" for c in name)
+        if not out or out.startswith("."):
+            raise ValueError(f"unroutable table name {name!r}")
+        return out
+
+    def get(self, name: str) -> TargetTable:
+        """TargetTable for a routed table name (created on first touch —
+        the reference's create-if-absent per table, CDCKudu.java:68-126)."""
+        t = self._tables.get(name)
+        if t is None:
+            t = TargetTable(
+                os.path.join(self.root, "tables", self._safe(name)),
+                compact_every=self.compact_every, buckets=self.buckets,
+            )
+            t.create_if_absent()
+            self._tables[name] = t
+        return t
+
+    def names(self) -> list[str]:
+        """Tables present on disk (discovery for resumed jobs)."""
+        d = os.path.join(self.root, "tables")
+        found = set(os.listdir(d)) if os.path.isdir(d) else set()
+        return sorted(found | set(self._tables))

@@ -34,10 +34,13 @@ from pyspark.sql import functions as F
 from cdc_spark.operators.dedupe import lww_dedupe
 from cdc_spark.operators.normalize import normalize
 from cdc_spark.schema import SPARK_TYPE
-from cdc_spark.sinks.target import TargetTable
+from cdc_spark.sinks.target import TableRouter, TargetTable
 from cdc_spark.sources.binlog import list_segments, read_changes, stream_reader
 
-__all__ = ["apply_batch", "replay", "stream", "read_changes"]
+__all__ = [
+    "apply_batch", "apply_batch_multi", "replay", "replay_multi", "stream",
+    "read_changes",
+]
 
 
 def project_to_table(events: DataFrame, registry: list[dict]) -> DataFrame:
@@ -45,7 +48,10 @@ def project_to_table(events: DataFrame, registry: list[dict]) -> DataFrame:
 
     Extra-column values ride in the event's string map under their
     *source* key; the physical column uses the (possibly renamed) target
-    name and the (possibly widened) type. Unregistered keys are ignored."""
+    name and the (possibly widened) type. Unregistered keys are ignored.
+    Values are masked to events NEWER than the column's add-DDL lsn —
+    under the two-phase DDL barrier an epoch's earlier DML would
+    otherwise project pre-drop values into a re-added column."""
     sel = [
         F.col("doc_id"),
         F.col("tokens"),
@@ -53,9 +59,11 @@ def project_to_table(events: DataFrame, registry: list[dict]) -> DataFrame:
         F.col("source"),
     ]
     for c in registry:
-        sel.append(
-            F.col("extra").getItem(c["source_key"]).cast(SPARK_TYPE[c["type"]]).alias(c["target"])
-        )
+        val = F.col("extra").getItem(c["source_key"]).cast(SPARK_TYPE[c["type"]])
+        add_lsn = c.get("add_lsn", -1)
+        if add_lsn > 0:
+            val = F.when(F.col("lsn") > F.lit(add_lsn), val)
+        sel.append(val.alias(c["target"]))
     sel += [F.col("lsn").alias("last_lsn"), F.col("deleted")]
     return events.select(*sel)
 
@@ -71,7 +79,7 @@ def lineage_stats(raw: DataFrame) -> DataFrame:
     carrying the events through the aggregate is free."""
     ddl_evt = F.when(
         F.col("op_type") == "DDL",
-        F.struct(F.col("lsn"), F.col("ddl_kind"), F.col("ddl_payload")),
+        F.struct(F.col("lsn"), F.col("table"), F.col("ddl_kind"), F.col("ddl_payload")),
     )
     return (
         raw.groupBy(F.spark_partition_id().alias("partition_id"))
@@ -212,6 +220,129 @@ def apply_batch(
     }
 
 
+def apply_batch_multi(
+    spark: SparkSession,
+    router: TableRouter,
+    batch: DataFrame,
+    epoch: int,
+    dedupe_mode: str = "agg",
+    normalize_impl: str = "expr",
+    lineage: bool = True,
+) -> dict:
+    """Apply one epoch's change events, routed per `table` column into
+    the router's per-table TargetTables (reference: per-table RDD loop,
+    CTInputDStream.java:65-99).
+
+    Two-phase like apply_batch: ALL DDL (any table) applies before any
+    DML commit, each idempotent by (epoch, lsn). Per-table epoch commits
+    are independently idempotent — a crash between two tables' commits
+    resumes with the committed table no-op'ing. Returns {applied_tables,
+    skipped_tables, n_events, n_ddl, seconds}."""
+    t0 = time.monotonic()
+
+    # -- phase 0: one pruned pass → per-table stats (which tables, how
+    # many events, lsn range — the per-table redelivery fingerprint) ------
+    per_table = {
+        r["table"]: {"n_events": r["n"], "min_lsn": r["lo"], "max_lsn": r["hi"]}
+        for r in batch.groupBy("table").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
+        ).collect()
+    }
+
+    # -- phase 1: lineage + DDL barrier + unknown-op guard (one pass) -----
+    lineage_rows = lineage_stats(batch).collect()
+    n_unknown = int(sum(r["n_unknown"] for r in lineage_rows))
+    if n_unknown:
+        raise ValueError(
+            f"epoch {epoch}: {n_unknown} events with unknown op_type "
+            "(not I/U/D/DDL/H); refusing to apply the batch"
+        )
+    ddl_rows = sorted(
+        (e for r in lineage_rows for e in r["ddl_events"]), key=lambda e: e["lsn"]
+    )
+    for r in ddl_rows:
+        router.get(r["table"]).apply_ddl(
+            spark, r["ddl_kind"], r["ddl_payload"], ddl_id=f"{epoch}:{r['lsn']}"
+        )
+
+    # -- phase 2: per-table normalize → dedupe → project → commit ---------
+    applied, skipped = [], []
+    for name in sorted(per_table):
+        table = router.get(name)
+        if table.has_epoch(epoch):
+            recorded = table.epoch_stats(epoch)
+            if recorded is not None and recorded != per_table[name]:
+                raise RuntimeError(
+                    f"epoch {epoch} redelivered to table {name} with "
+                    f"different contents (committed {recorded}, got "
+                    f"{per_table[name]})"
+                )
+            skipped.append(name)
+            continue
+        sub = batch.filter(F.col("table") == name)
+        events = normalize(sub, impl=normalize_impl)
+        deduped = lww_dedupe(events, key="doc_id", order="lsn", mode=dedupe_mode)
+        delta = project_to_table(deduped, table.state()["registry"])
+        table.commit_delta(delta, epoch, stats=per_table[name], pre_partitioned=True)
+        applied.append(name)
+
+    dt = time.monotonic() - t0
+    if lineage:
+        lin_dir = os.path.join(router.root, "_lineage")
+        os.makedirs(lin_dir, exist_ok=True)
+        with open(os.path.join(lin_dir, f"epoch-{epoch:08d}.json"), "w") as f:
+            json.dump({
+                "epoch": epoch,
+                "partitions": [
+                    {k: r[k] for k in ("partition_id", "min_lsn", "max_lsn",
+                                       "n_insert", "n_update", "n_delete",
+                                       "n_ddl", "n_heartbeat")}
+                    for r in lineage_rows
+                ],
+                "tables": {
+                    n: {**per_table[n],
+                        "snapshot_id": router.get(n).state()["snapshot_id"]}
+                    for n in per_table
+                },
+                "seconds": dt,
+            }, f)
+    n_events = int(sum(v["n_events"] for v in per_table.values()))
+    return {
+        "applied_tables": applied, "skipped_tables": skipped,
+        "n_events": n_events, "n_ddl": len(ddl_rows), "epoch": epoch,
+        "seconds": dt,
+    }
+
+
+def replay_multi(
+    spark: SparkSession,
+    binlog_dir: str,
+    root_path: str,
+    dedupe_mode: str = "agg",
+    normalize_impl: str = "expr",
+    lineage: bool = True,
+    stop_after: int | None = None,
+    compact_every: int = 16,
+    wire: str = "parquet",
+) -> TableRouter:
+    """Batch replay of a multi-table feed: one apply_batch_multi per
+    segment in epoch order; resumable exactly like `replay`."""
+    router = TableRouter(root_path, compact_every=compact_every)
+    by_epoch = list_segments(binlog_dir)
+    done = 0
+    for epoch in sorted(by_epoch):
+        batch = read_changes(spark, by_epoch[epoch], wire=wire)
+        apply_batch_multi(
+            spark, router, batch, epoch,
+            dedupe_mode=dedupe_mode, normalize_impl=normalize_impl, lineage=lineage,
+        )
+        done += 1
+        if stop_after is not None and done >= stop_after:
+            break
+    return router
+
+
 def replay(
     spark: SparkSession,
     binlog_dir: str,
@@ -259,6 +390,7 @@ def stream(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     wire: str = "parquet",
+    multi: bool = False,
 ):
     """Structured Streaming driver: readStream over the segment directory,
     foreachBatch → the same apply_batch (reference: DStream pipeline,
@@ -274,6 +406,28 @@ def stream(
     pre-DDL registry (found by an out-of-order-delivery probe; the
     reference dodges this only by forcing a single totally-ordered
     partition, GoldenGateKafka.java:242-259)."""
+    if multi:
+        router = TableRouter(table_path)
+
+        def handle_multi(bdf: DataFrame, _bid: int) -> None:
+            epochs = [r["epoch"] for r in bdf.select("epoch").distinct().collect()]
+            # apply_batch_multi is per-(table, epoch) idempotent, so
+            # redelivered epochs no-op per table with content verification
+            for e in sorted(epochs):
+                apply_batch_multi(spark, router, bdf.filter(F.col("epoch") == e), e,
+                                  dedupe_mode=dedupe_mode)
+
+        writer = (
+            stream_reader(spark, binlog_dir, max_files_per_trigger, wire=wire)
+            .writeStream.foreachBatch(handle_multi)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+            return router
+        return writer.start()
+
     table = TargetTable(table_path)
     table.create_if_absent()
     lineage_dir = os.path.join(table_path, "_lineage")

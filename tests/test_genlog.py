@@ -21,7 +21,7 @@ def test_lsn_strictly_increasing_and_dense(small_binlog):
 
 
 def test_ddl_schedule_all_kinds(small_cfg):
-    kinds = [k for _, k, _ in ddl_events(small_cfg)]
+    kinds = [k for _, k, _, _ in ddl_events(small_cfg)]
     assert kinds.count("add_column") == 2
     assert "rename_column" in kinds and "widen_column" in kinds
 

@@ -85,3 +85,33 @@ def test_dml_touches_new_column_same_and_later_batch(spark, small_binlog, workdi
     df = table.read_resolved(spark)
     assert df.filter(df.quality_score.isNotNull()).count() > 0
     assert df.filter(df.rating.isNotNull()).count() > 0
+
+
+def test_drop_column_then_readd_starts_from_nulls(spark, workdir):
+    """add → drop → re-add (reference drops removed columns,
+    CDCKudu.java:103-106): the drop compacts the column away, the re-add
+    starts from nulls, and the full replay still matches the oracle."""
+    from cdc_spark.genlog import DDL_SCHEDULE_WITH_DROP
+
+    cfg = GenConfig(
+        n_events=4000, n_docs=300, events_per_epoch=1000, seed=17,
+        ddl_schedule=DDL_SCHEDULE_WITH_DROP,
+    )
+    d = f"{workdir}/binlog_drop"
+    write_binlog(cfg, d)
+    table = replay(spark, d, f"{workdir}/t_drop")
+    df = table.read_resolved(spark)
+    types = dict(df.dtypes)
+    assert types["rating"] == "bigint"  # the re-added long, not the old int
+    rows = df.collect()
+    drop_lsn = int(4000 * 0.55)
+    stale = [r for r in rows if r["last_lsn"] <= drop_lsn]
+    assert stale and all(r["rating"] is None for r in stale)
+    assert any(r["rating"] is not None for r in rows)
+    assert_matches_oracle(spark, table, d)
+
+
+def test_drop_unknown_column_fails(spark, workdir, small_binlog):
+    table = replay(spark, small_binlog, f"{workdir}/t_drop_unknown", stop_after=1)
+    with pytest.raises(KeyError, match="drop: no column"):
+        table.apply_ddl(spark, "drop_column", json.dumps({"name": "nope"}), ddl_id="x:1")
