@@ -80,6 +80,19 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--table", required=True)
     _add_common(cp)
 
+    jr = sub.add_parser(
+        "jdbc-replay",
+        help="poll a JDBC change-tracking outbox table and apply per epoch "
+             "(reference S1 transport, CTInputDStream.java:112-131)",
+    )
+    jr.add_argument("--url", required=True, help="JDBC URL (e.g. jdbc:derby:/path)")
+    jr.add_argument("--table", required=True, help="target table path")
+    jr.add_argument("--outbox", default="changes", help="outbox table name")
+    jr.add_argument("--driver", default=None, help="JDBC driver class")
+    jr.add_argument("--num-partitions", type=int, default=4)
+    jr.add_argument("--dedupe", default="agg", choices=["agg", "window", "salted"])
+    _add_common(jr)
+
     ae = sub.add_parser(
         "avro-encode",
         help="re-encode a parquet binlog as Avro single-object wire segments "
@@ -234,6 +247,24 @@ def main(argv: list[str] | None = None) -> int:
                               "diffs": len(diffs), "ok": not diffs,
                               "sample": diffs[:5]}))
             return 0 if not diffs else 1
+
+        if args.cmd == "jdbc-replay":
+            from cdc_spark.sources.jdbc import jdbc_replay
+
+            t0 = time.monotonic()
+            table = jdbc_replay(
+                spark, args.url, args.table, outbox_table=args.outbox,
+                driver=args.driver, num_partitions=args.num_partitions,
+                dedupe_mode=args.dedupe,
+            )
+            st = table.state()
+            print(json.dumps({
+                "epochs_applied": st.get("epochs_applied", 0),
+                "version": st["version"],
+                "final_rows": table.read_resolved(spark).count(),
+                "seconds": round(time.monotonic() - t0, 2),
+            }))
+            return 0
 
         if args.cmd == "avro-encode":
             import glob as _glob
