@@ -59,6 +59,11 @@ def main(argv: list[str] | None = None) -> int:
         r.add_argument("--wire", default="parquet", choices=["parquet", "avro"],
                        help="segment payload: typed parquet rows, or Avro "
                             "single-object frames (T6; see avro-encode)")
+        if name == "replay":
+            r.add_argument("--no-lineage", action="store_true",
+                           help="skip per-partition lineage emission; routes "
+                                "apply_batch through the Observation-folded "
+                                "single-job fast path (one less job/epoch)")
         r.add_argument("--multi-table", action="store_true",
                        help="route events by the `table` column into "
                             "per-table targets under --table (reference: "
@@ -177,7 +182,7 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.binlog, args.table,
                     dedupe_mode=args.dedupe, normalize_impl=args.normalize,
                     compact_every=args.compact_every, stats_out=epoch_stats,
-                    wire=args.wire,
+                    wire=args.wire, lineage=not args.no_lineage,
                 )
             else:
                 from cdc_spark.streaming.pipeline import stream

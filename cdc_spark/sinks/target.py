@@ -291,14 +291,19 @@ class TargetTable:
 
         df columns must match self.schema() (lsn already renamed last_lsn).
         `stats` ({n_events, min_lsn, max_lsn} of the raw batch) is stored
-        for redelivery-vs-partial-delivery detection. Returns the journal
-        entry, or None if the epoch was already applied (exactly-once
-        re-delivery guard)."""
+        for redelivery-vs-partial-delivery detection; a CALLABLE stats is
+        invoked after the data write but before the journal commit — the
+        hook for Observation-folded metrics (and their guards): a raise
+        there aborts the commit with only an unjournaled, overwrite-safe
+        delta dir left behind. Returns the journal entry, or None if the
+        epoch was already applied (exactly-once re-delivery guard)."""
         st = self.state()
         if self.has_epoch(epoch, st):
             return None
         outdir = os.path.join(self.path, "delta", f"epoch={epoch:08d}")
         self._write_bucketed(df, outdir, pre_partitioned=pre_partitioned)
+        if callable(stats):
+            stats = stats()
         entry = self._commit(
             {
                 **st,

@@ -154,6 +154,19 @@ def apply_batch(
     # the nested before/after structs + maps into the columnar cache
     # (measured 5.8s persist vs <1s pruned scans per 250k-event epoch).
 
+    if lineage_dir is None:
+        # -- fast path (no per-partition lineage requested): the epoch's
+        # guard + journal stats fold into the WRITE job as Observation
+        # metrics (CollectMetrics blocks filter pushdown through it, so
+        # every raw row is counted), and the pre-pass shrinks to the
+        # pushdown-pruned DDL probe. Cuts one full-scan job per epoch —
+        # per-epoch fixed cost is the dominant throughput term for small
+        # micro-batches (BENCH.md epoch-size sensitivity table).
+        return _apply_batch_observed(
+            spark, table, batch, epoch, t0,
+            dedupe_mode=dedupe_mode, normalize_impl=normalize_impl,
+        )
+
     # -- phase 1: one pruned pass → per-partition lineage + DDL barrier --
     lineage = lineage_stats(batch).collect()
     n_unknown = int(sum(r["n_unknown"] for r in lineage))
@@ -214,6 +227,78 @@ def apply_batch(
         "applied": entry is not None,
         "epoch": epoch,
         "n_events": n_events,
+        "n_ddl": len(ddl_rows),
+        "seconds": dt,
+        "snapshot_id": entry["snapshot_id"] if entry else None,
+    }
+
+
+def _apply_batch_observed(
+    spark: SparkSession,
+    table: TargetTable,
+    batch: DataFrame,
+    epoch: int,
+    t0: float,
+    dedupe_mode: str = "agg",
+    normalize_impl: str = "expr",
+) -> dict:
+    """apply_batch's single-job fast path: DDL via pruned probe, guard +
+    stats via Observation on the delta-write job (see apply_batch)."""
+    from pyspark.sql import Observation
+
+    ddl_rows = sorted(
+        batch.filter(F.col("op_type") == "DDL")
+        .select("lsn", "ddl_kind", "ddl_payload")
+        .collect(),
+        key=lambda r: r["lsn"],
+    )
+    for r in ddl_rows:
+        table.apply_ddl(spark, r["ddl_kind"], r["ddl_payload"], ddl_id=f"{epoch}:{r['lsn']}")
+    registry = table.state()["registry"]
+
+    obs = Observation(f"epoch-{epoch}")
+    observed = batch.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("lsn").alias("min_lsn"),
+        F.max("lsn").alias("max_lsn"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("op_type").isNull()
+                    | ~F.col("op_type").isin("I", "U", "D", "DDL", "H"),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_unknown"),
+        F.coalesce(
+            F.sum(F.when(F.col("op_type") == "H", 1).otherwise(0)),
+            F.lit(0).cast("long"),
+        ).alias("n_heartbeat"),
+    )
+    events = normalize(observed, impl=normalize_impl)
+    deduped = lww_dedupe(events, key="doc_id", order="lsn", mode=dedupe_mode)
+    delta = project_to_table(deduped, registry)
+
+    metrics: dict = {}
+
+    def stats_fn() -> dict:
+        m = obs.get  # available once the write action finished
+        metrics.update(m)
+        if m["n_unknown"]:
+            raise ValueError(
+                f"epoch {epoch}: {m['n_unknown']} events with unknown op_type "
+                "(not I/U/D/DDL/H); refusing to commit the batch"
+            )
+        return {"n_events": m["n_rows"], "min_lsn": m["min_lsn"], "max_lsn": m["max_lsn"]}
+
+    entry = table.commit_delta(delta, epoch, stats=stats_fn, pre_partitioned=True)
+    dt = time.monotonic() - t0
+    return {
+        "applied": entry is not None,
+        "epoch": epoch,
+        "n_events": int(metrics["n_rows"] - metrics["n_heartbeat"]),
         "n_ddl": len(ddl_rows),
         "seconds": dt,
         "snapshot_id": entry["snapshot_id"] if entry else None,

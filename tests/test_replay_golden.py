@@ -65,3 +65,21 @@ def test_lineage_emitted(spark, small_binlog, workdir):
     )
     total = sum(r["n_insert"] + r["n_update"] + r["n_delete"] + r["n_ddl"] for r in rows)
     assert total == 1000  # epoch 0 event count
+
+
+def test_observed_fast_path_equals_lineage_path(spark, small_binlog, workdir):
+    """lineage=False routes apply_batch through the Observation-folded
+    single-job fast path; final state, journal stats, and oracle match
+    the two-pass lineage path exactly."""
+    stats_fast: list = []
+    t_fast = replay(spark, small_binlog, f"{workdir}/t_fast", lineage=False,
+                    stats_out=stats_fast)
+    t_full = replay(spark, small_binlog, f"{workdir}/t_full_ref", lineage=True)
+    assert_matches_oracle(spark, t_fast, small_binlog)
+    a = {r["doc_id"]: r.asDict() for r in t_fast.read_resolved(spark).collect()}
+    b = {r["doc_id"]: r.asDict() for r in t_full.read_resolved(spark).collect()}
+    assert a == b
+    # journal-recorded per-epoch stats (the redelivery fingerprint) agree
+    for e in range(5):
+        assert t_fast.epoch_stats(e) == t_full.epoch_stats(e)
+    assert all(r["applied"] for r in stats_fast)
