@@ -516,52 +516,88 @@ def stream(
     table = TargetTable(table_path)
     table.create_if_absent()
     lineage_dir = os.path.join(table_path, "_lineage")
+    staging_root = os.path.join(table_path, "_staging")
+
+    def _stage_dir(e: int) -> str:
+        return os.path.join(staging_root, f"epoch={e:08d}")
+
+    def _staged_files(e: int) -> set[str]:
+        """Source segment files already staged for an incomplete epoch."""
+        d = _stage_dir(e)
+        if not os.path.isdir(d):
+            return set()
+        return {
+            r["_src_file"]
+            for r in spark.read.parquet(d).select("_src_file").distinct().collect()
+        }
 
     def handle(bdf: DataFrame, _bid: int) -> None:
-        # one tiny job: epochs present in this micro-batch + how many
+        # one tiny job: epochs present in this micro-batch + which
         # distinct segment files fed each (file-source provenance via
-        # input_file_name) — lets us refuse an incomplete segment BEFORE
-        # its partial contents commit, instead of poisoning the table and
-        # only detecting the split on the next micro-batch
-        # empty file names (a non-file source, or provenance lost behind a
-        # mapInPandas decode) → n_files 0 → the completeness check skips
-        seen = {
-            r["epoch"]: r["n_files"]
+        # input_file_name). An epoch whose segment is only partially
+        # delivered — the trigger limit split it across micro-batches —
+        # is STAGED, not committed: its rows park under _staging until
+        # the remaining part files arrive (the file source delivers each
+        # file exactly once, so losing them would be permanent), then the
+        # whole segment applies atomically. Empty file names (non-file
+        # source, or provenance lost behind a mapInPandas decode) →
+        # completeness can't be verified → apply directly.
+        per_epoch = {
+            r["epoch"]: set(r["files"])
             for r in bdf.select(
                 "epoch", F.nullif(F.input_file_name(), F.lit("")).alias("_file")
             )
             .groupBy("epoch")
-            .agg(F.countDistinct("_file").alias("n_files"))
+            .agg(F.collect_set("_file").alias("files"))
             .collect()
         }
         expected = list_segments(binlog_dir)
         floor, watermark, sparse = table.applied_epochs()
         latest = table.max_epoch()
-        for e in sorted(seen):
+        blocked = False
+        for e in sorted(per_epoch):
             applied = e in sparse or (floor is not None and floor <= e <= watermark)
+            cur = bdf.filter(F.col("epoch") == e)
+            staged = _staged_files(e)
+            have = per_epoch[e] | staged
+            n_expected = len(expected.get(e, []))
+            incomplete = per_epoch[e] and len(have) < n_expected
+            if not applied and (blocked or incomplete):
+                # park this epoch's rows (and, once one epoch is parked,
+                # every later epoch's too — applying e+1 before e would
+                # break the DDL-before-DML order across epochs)
+                cur.withColumn("_src_file", F.input_file_name()).write.mode(
+                    "append"
+                ).parquet(_stage_dir(e))
+                blocked = True
+                continue
             if not applied and latest is not None and e != latest + 1:
                 raise RuntimeError(
                     f"out-of-order segment delivery: epoch {e} arrived but "
                     f"the latest applied epoch is {latest}; binlog "
                     "segments must be delivered in epoch order"
                 )
-            n_expected = len(expected.get(e, []))
-            if not applied and 0 < seen[e] < n_expected:
-                raise RuntimeError(
-                    f"incomplete segment delivery: epoch {e} arrived with "
-                    f"{seen[e]}/{n_expected} files — the trigger limit "
-                    "split an epoch across micro-batches; refusing to "
-                    "commit a partial epoch (raise maxFilesPerTrigger to "
-                    ">= files per segment)"
+            if staged:
+                # whole segment = staged parts ∪ this delivery; a
+                # checkpoint replay can overlap them, so dedupe by lsn
+                # (unique per event) — rare path, split epochs only
+                cur = (
+                    spark.read.parquet(_stage_dir(e)).drop("_src_file")
+                    .unionByName(cur)
+                    .dropDuplicates(["lsn"])
                 )
             # applied epochs still go through apply_batch: it no-ops on a
             # true redelivery but fails loudly if this delivery's contents
-            # differ from what committed (epoch split across micro-batches)
+            # differ from what committed
             apply_batch(
-                spark, table, bdf.filter(F.col("epoch") == e), e,
+                spark, table, cur, e,
                 dedupe_mode=dedupe_mode, lineage_dir=lineage_dir,
                 verify_redelivery=True,
             )
+            if staged:
+                import shutil as _shutil
+
+                _shutil.rmtree(_stage_dir(e), ignore_errors=True)
             sparse.add(e)
             latest = e if latest is None else max(latest, e)
 

@@ -111,3 +111,27 @@ def test_streaming_resume_from_checkpoint(spark, small_binlog, workdir):
     table = stream(spark, feed, tdir, checkpoint_dir=ckpt)
     assert table.state()["epochs_applied"] == 5 and table.max_epoch() == 4
     assert_matches_oracle(spark, table, small_binlog)
+
+
+def test_trigger_split_epoch_stages_then_applies(spark, workdir):
+    """maxFilesPerTrigger below the files-per-segment count splits every
+    epoch across micro-batches; partial segments must STAGE (never
+    commit partially — the file source won't redeliver them) and apply
+    atomically once complete. Final state matches the oracle and no
+    staging residue survives."""
+    import os
+
+    from cdc_spark.genlog import GenConfig, write_binlog
+    from cdc_spark.streaming.pipeline import stream
+
+    cfg = GenConfig(n_events=3000, n_docs=300, events_per_epoch=1000, seed=23)
+    d = f"{workdir}/binlog_split"
+    write_binlog(cfg, d, parts=4)  # 3 epochs x 4 part files
+    tdir = f"{workdir}/t_split"
+    table = stream(
+        spark, d, tdir, checkpoint_dir=f"{workdir}/ckpt_split",
+        max_files_per_trigger=3,  # never a whole segment per trigger
+    )
+    assert_matches_oracle(spark, table, d)
+    staging = f"{tdir}/_staging"
+    assert not os.path.isdir(staging) or not os.listdir(staging)
