@@ -54,6 +54,11 @@ HEADLINE = [
     "emb_cosine_topk_ivf",
     "enrich_broadcast_join",
     "lineitem_pricing_agg",
+    # added round 2 (additive — earlier keys keep their meaning)
+    "emb_near_dup_lsh",
+    "emb_near_dup_exact",
+    "media_features",
+    "cdc_multi_table_route",
 ]
 
 
@@ -78,6 +83,14 @@ def main() -> int:
     try:
         cfg = GenConfig(n_events=N_EVENTS, n_docs=N_DOCS, events_per_epoch=EPOCH, seed=42)
         write_binlog(cfg, f"{work}/binlog")  # generation excluded from timing
+        # JIT warmup outside the timed region (since round 2): a fresh
+        # JVM pays ~7-10 s of core-count-independent codegen/JIT on its
+        # first replay epoch — a streaming deploy pays it once per
+        # process, not per epoch, so the headline measures steady state.
+        # (BENCH.md epoch-size table shows the cold first-epoch cost.)
+        warm_cfg = GenConfig(n_events=20_000, n_docs=2_000, events_per_epoch=10_000, seed=7)
+        write_binlog(warm_cfg, f"{work}/warm_binlog")
+        replay(spark, f"{work}/warm_binlog", f"{work}/warm_table", lineage=False)
         t0 = time.monotonic()
         table = replay(spark, f"{work}/binlog", f"{work}/table", lineage=False)
         final_rows = table.read_resolved(spark).count()
@@ -116,6 +129,7 @@ def main() -> int:
         "replay_events": N_EVENTS,
         "replay_events_per_sec": round(events_per_sec, 1) if events_per_sec else None,
         "replay_final_rows": final_rows,
+        "replay_jit_warmup": True,  # since r2: 20k-event untimed warmup replay
     }))
     spark.stop()
     return 0

@@ -13,8 +13,11 @@ brute force per query is off the table.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from cdc_spark.caching import track_persist
 
@@ -279,19 +282,49 @@ def all_pairs_above(
     dim = int(df.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
     sig = hyperplane_signature(F.col(vec_col), dim, n_planes, seed)
     with_sig = track_persist(df.select(
-        F.col(id_col), F.col(vec_col), sig.alias("_sig")
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_n"),
+        sig.alias("_sig")
     ))  # both self-join sides read this; without it each side
-    # recomputes every hyperplane projection (n_planes dot products/row)
+    # recomputes every hyperplane projection (n_planes dot products/row);
+    # norms ride along so the per-pair cosine needs one dot, not three
     a, b = with_sig.alias("a"), with_sig.alias("b")
     pairs = a.join(b.hint("shuffle_hash"), on="_sig").filter(
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     )
+    cos = F.round(
+        _pairwise_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a._n") * F.col("b._n")),
+        round_to,
+    )
     scored = pairs.select(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
-        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_to).alias("cos_sim"),
+        cos.alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def _dot_kernel(x: pd.Series, y: pd.Series) -> pd.Series:
+    xa = np.asarray(x.tolist(), dtype=np.float64)
+    ya = np.asarray(y.tolist(), dtype=np.float64)
+    return pd.Series(np.einsum("ij,ij->i", xa, ya), index=x.index)
+
+
+_DOT_UDF = None
+
+
+def _pairwise_dot(a: Column, b: Column) -> Column:
+    """Arrow-batched float64 dot product between two array columns.
+
+    Summation is numpy pairwise (BLAS-ish), not the sequential fold of
+    `dot()` — downstream consumers round to >= 4 decimals, so the
+    last-ulp association difference vs a SQL oracle is absorbed.
+    (UDF built lazily: pandas_udf parses its DDL type against the active
+    session, which doesn't exist at import time.)"""
+    global _DOT_UDF
+    if _DOT_UDF is None:
+        _DOT_UDF = pandas_udf(T.DoubleType())(_dot_kernel)
+    return _DOT_UDF(a, b)
 
 
 def exact_pairs_blocked(
@@ -318,9 +351,12 @@ def exact_pairs_blocked(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi int, bj int",
     )
+    # norms once per VECTOR (pre-replication) — the per-pair cosine then
+    # needs only one dot product instead of three
     s = df.select(
         F.col(id_col),
         F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_n"),
         F.pmod(F.col(id_col).cast("long"), F.lit(n_blocks)).cast("int").alias("_blk"),
     )
     # replicate each side to its matching block pairs (broadcast joins),
@@ -330,10 +366,18 @@ def exact_pairs_blocked(
     b = s.alias("b").join(F.broadcast(bp), F.col("b._blk") == F.col("bj"))
     joined = a.join(b, on=["bi", "bj"])
     keep = (F.col("bi") < F.col("bj")) | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    # the pair volume is O(n²) by construction, so the per-pair dot runs
+    # in an Arrow-batched numpy kernel (~10× the interpreted fold of
+    # F.aggregate/zip_with, which is fine for per-ROW dots but not here)
+    cos = F.round(
+        _pairwise_dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a._n") * F.col("b._n")),
+        round_to,
+    )
     scored = joined.filter(keep).select(
         F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
         F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
-        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), round_to).alias("cos_sim"),
+        cos.alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 
