@@ -101,9 +101,19 @@ def fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as space-joined strings (distinct)."""
-    arr = word_array(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(arr) - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i + 1, k)))
-    )
+    """Word k-shingles as space-joined strings (may contain duplicates —
+    every consumer aggregates duplicate-insensitively: min() minhash,
+    collect_set() jaccard blocking).
+
+    Codegen shape: overlapping k-grams extracted in ONE regex pass
+    (zero-width lookahead capture anchored to post-space positions on a
+    space-normalized, space-prefixed copy). The previous formulation —
+    F.transform over an index sequence with slice+concat_ws per element
+    — is an interpreted higher-order function and was the single
+    hottest expression in the near-dup pipeline (~60% of signature
+    time at sf0.1). Docs with fewer than k words fall back to one
+    whole-text shingle, exactly like slice() used to produce."""
+    norm = F.regexp_replace(F.trim(text), r"\s+", " ")
+    pat = "(?<= )(?=(" + " ".join(["\\S+"] * k) + "))"
+    matches = F.regexp_extract_all(F.concat(F.lit(" "), norm), F.lit(pat), F.lit(1))
+    return F.when(F.size(matches) == 0, F.array(norm)).otherwise(matches)
