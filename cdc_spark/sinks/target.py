@@ -424,6 +424,12 @@ class TableRouter:
         out = "".join(c if (c.isalnum() or c in "._-") else "_" for c in name)
         if not out or out.startswith("."):
             raise ValueError(f"unroutable table name {name!r}")
+        if out != name:
+            # sanitization can collide ("a/b" vs "a_b") — disambiguate
+            # with a stable suffix derived from the original name
+            import hashlib
+
+            out += "-" + hashlib.md5(name.encode()).hexdigest()[:8]
         return out
 
     def get(self, name: str) -> TargetTable:

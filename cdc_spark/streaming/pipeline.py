@@ -298,7 +298,9 @@ def _apply_batch_observed(
     return {
         "applied": entry is not None,
         "epoch": epoch,
-        "n_events": int(metrics["n_rows"] - metrics["n_heartbeat"]),
+        # metrics stay empty if commit_delta no-op'ed on a redelivery
+        # race (stats_fn never ran)
+        "n_events": int(metrics.get("n_rows", 0) - metrics.get("n_heartbeat", 0)),
         "n_ddl": len(ddl_rows),
         "seconds": dt,
         "snapshot_id": entry["snapshot_id"] if entry else None,
@@ -495,10 +497,31 @@ def stream(
         router = TableRouter(table_path)
 
         def handle_multi(bdf: DataFrame, _bid: int) -> None:
-            epochs = [r["epoch"] for r in bdf.select("epoch").distinct().collect()]
+            # refuse a trigger-split (incomplete) segment BEFORE any
+            # per-table commit — multi mode has no staging path (yet),
+            # and a partial per-table commit would poison those tables
+            seen = {
+                r["epoch"]: r["n_files"]
+                for r in bdf.select(
+                    "epoch", F.nullif(F.input_file_name(), F.lit("")).alias("_file")
+                )
+                .groupBy("epoch")
+                .agg(F.countDistinct("_file").alias("n_files"))
+                .collect()
+            }
+            expected = list_segments(binlog_dir)
+            for e in sorted(seen):
+                n_expected = len(expected.get(e, []))
+                if 0 < seen[e] < n_expected:
+                    raise RuntimeError(
+                        f"incomplete segment delivery: epoch {e} arrived "
+                        f"with {seen[e]}/{n_expected} files; multi-table "
+                        "streaming requires whole segments per trigger "
+                        "(raise maxFilesPerTrigger to >= files per segment)"
+                    )
             # apply_batch_multi is per-(table, epoch) idempotent, so
             # redelivered epochs no-op per table with content verification
-            for e in sorted(epochs):
+            for e in sorted(seen):
                 apply_batch_multi(spark, router, bdf.filter(F.col("epoch") == e), e,
                                   dedupe_mode=dedupe_mode)
 
@@ -524,7 +547,11 @@ def stream(
     def _staged_files(e: int) -> set[str]:
         """Source segment files already staged for an incomplete epoch."""
         d = _stage_dir(e)
-        if not os.path.isdir(d):
+        # a crash mid-append can leave only _temporary behind; reading
+        # a partless dir would fail schema inference
+        if not os.path.isdir(d) or not any(
+            f.startswith("part-") for f in os.listdir(d)
+        ):
             return set()
         return {
             r["_src_file"]

@@ -127,9 +127,9 @@ def test_trigger_split_epoch_stages_then_applies(spark, workdir):
     cfg = GenConfig(n_events=3000, n_docs=300, events_per_epoch=1000, seed=23)
     d = f"{workdir}/binlog_split"
     write_binlog(cfg, d, parts=4)  # 3 epochs x 4 part files
-    tdir = f"{workdir}/t_split"
+    tdir = f"{workdir}/t_trigger_split"
     table = stream(
-        spark, d, tdir, checkpoint_dir=f"{workdir}/ckpt_split",
+        spark, d, tdir, checkpoint_dir=f"{workdir}/ckpt_trigger_split",
         max_files_per_trigger=3,  # never a whole segment per trigger
     )
     assert_matches_oracle(spark, table, d)
