@@ -283,6 +283,25 @@ def _q_emb_topk_lsh(spark, sf):
     return lsh_topk(e, _query_vec(spark, sf), k=10)
 
 
+def _q_emb_topk_ivf_indexed(spark, sf):
+    """P12 persisted-index form: embeddings written parquet-partitioned
+    by frozen-quantizer cluster, then probed via PartitionFilters-pruned
+    scans (the on-disk 100-TB layout; pruning pinned in
+    tests/test_similarity.py). Same frozen centroids as the in-memory
+    IVF query, so the same SQL oracle applies exactly."""
+    from cdc_spark.functions.ivf_centroids import FIXED_CENTROIDS
+    from cdc_spark.functions.similarity import build_ivf_index, ivf_index_topk
+
+    e = _load(spark, sf, "embeddings")
+    work = tempfile.mkdtemp(prefix="cdc_ivf_idx_")
+    try:
+        build_ivf_index(e, f"{work}/index", centroids=FIXED_CENTROIDS)
+        out = ivf_index_topk(spark, f"{work}/index", _query_vec(spark, sf), k=10)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_emb_topk_ivf(spark, sf):
     from cdc_spark.functions.ivf_centroids import FIXED_CENTROIDS
     from cdc_spark.functions.similarity import ivf_topk
@@ -575,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-SQL-expressible / approximate (rows-only checks)
         "emb_cosine_topk_lsh": _q_emb_topk_lsh,
         "emb_cosine_topk_ivf": _q_emb_topk_ivf,
+        "emb_cosine_topk_ivf_indexed": _q_emb_topk_ivf_indexed,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "cdc_streaming_source_stats": _q_streaming_stats,
         "cdc_replay_final_state": _q_replay_final,
@@ -785,6 +805,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_topk_lsh": sql_lsh_topk(dim=64, k=10, n_planes=12, max_hamming=2),
         "emb_near_dup_lsh": sql_all_pairs_lsh(dim=64, threshold=0.4, n_planes=8),
         "emb_cosine_topk_ivf": sql_ivf_topk(_FIXED_CENTROIDS, k=10, n_probe=4),
+        # persisted-index form probes the same frozen quantizer, so the
+        # oracle is identical
+        "emb_cosine_topk_ivf_indexed": sql_ivf_topk(_FIXED_CENTROIDS, k=10, n_probe=4),
         # cdc_replay_final_state (full engine replay) and
         # cdc_streaming_source_stats (stateful stream): rows-only
     }

@@ -59,6 +59,8 @@ HEADLINE = [
     "emb_near_dup_exact",
     "media_features",
     "cdc_multi_table_route",
+    "cdc_multi_table_replay",
+    "emb_cosine_topk_ivf_indexed",
 ]
 
 

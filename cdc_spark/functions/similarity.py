@@ -208,6 +208,7 @@ def build_ivf_index(
     n_clusters: int = 16,
     fit_sample: int = 2048,
     seed: int = 42,
+    centroids: np.ndarray | list | None = None,
 ) -> np.ndarray:
     """Materialize the IVF index: vectors written parquet-partitioned by
     their coarse-quantizer cluster (`_cluster=K/` directories) plus the
@@ -219,11 +220,14 @@ def build_ivf_index(
     import json
     import os
 
-    sample = np.array(
-        [r[vec_col] for r in df.select(vec_col).limit(fit_sample).collect()],
-        dtype=np.float64,
-    )
-    centroids = _kmeans_fit(sample, n_clusters, seed=seed)
+    if centroids is None:
+        sample = np.array(
+            [r[vec_col] for r in df.select(vec_col).limit(fit_sample).collect()],
+            dtype=np.float64,
+        )
+        centroids = _kmeans_fit(sample, n_clusters, seed=seed)
+    else:
+        centroids = np.asarray(centroids, dtype=np.float64)
     assigned = df.select(
         F.col(id_col), F.col(vec_col),
         _nearest_centroid(F.col(vec_col), centroids).alias("_cluster"),

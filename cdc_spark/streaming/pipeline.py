@@ -468,6 +468,77 @@ def replay(
     return table
 
 
+def _epoch_gate(spark, bdf, binlog_dir, staging_root, is_applied):
+    """Yield (epoch, batch_df, had_staged) for every epoch whose segment
+    is FULLY delivered, merging previously-staged parts; park incomplete
+    segments under `staging_root` instead of yielding them.
+
+    One tiny job discovers the epochs present in the micro-batch and
+    which distinct segment files fed each (input_file_name provenance).
+    An epoch whose segment the trigger limit split across micro-batches
+    is STAGED, not committed — the file source delivers each file
+    exactly once, so dropping the partial rows would be permanent — and
+    every later epoch in the same batch parks too (applying e+1 before e
+    would break cross-epoch DDL-before-DML order). The merged segment =
+    staged parts ∪ this delivery, deduped by lsn (unique per event)
+    because a checkpoint replay can overlap the staging area. Staged
+    dirs are removed only after the caller consumed the yielded epoch
+    (an abandoned generator — apply raised — keeps them for retry).
+    Empty provenance (non-file source, or lost behind a mapInPandas
+    decode) disables the completeness check: such epochs yield directly."""
+    import shutil as _shutil
+
+    def _stage_dir(e: int) -> str:
+        return os.path.join(staging_root, f"epoch={e:08d}")
+
+    def _staged_files(e: int) -> set[str]:
+        d = _stage_dir(e)
+        # a crash mid-append can leave only _temporary behind; reading
+        # a partless dir would fail schema inference
+        if not os.path.isdir(d) or not any(
+            f.startswith("part-") for f in os.listdir(d)
+        ):
+            return set()
+        return {
+            r["_src_file"]
+            for r in spark.read.parquet(d).select("_src_file").distinct().collect()
+        }
+
+    per_epoch = {
+        r["epoch"]: set(r["files"])
+        for r in bdf.select(
+            "epoch", F.nullif(F.input_file_name(), F.lit("")).alias("_file")
+        )
+        .groupBy("epoch")
+        .agg(F.collect_set("_file").alias("files"))
+        .collect()
+    }
+    expected = list_segments(binlog_dir)
+    blocked = False
+    for e in sorted(per_epoch):
+        applied = is_applied(e)
+        cur = bdf.filter(F.col("epoch") == e)
+        staged = _staged_files(e)
+        have = per_epoch[e] | staged
+        n_expected = len(expected.get(e, []))
+        incomplete = per_epoch[e] and len(have) < n_expected
+        if not applied and (blocked or incomplete):
+            cur.withColumn("_src_file", F.input_file_name()).write.mode(
+                "append"
+            ).parquet(_stage_dir(e))
+            blocked = True
+            continue
+        if staged:
+            cur = (
+                spark.read.parquet(_stage_dir(e)).drop("_src_file")
+                .unionByName(cur)
+                .dropDuplicates(["lsn"])
+            )
+        yield e, cur, bool(staged)
+        if staged:
+            _shutil.rmtree(_stage_dir(e), ignore_errors=True)
+
+
 def stream(
     spark: SparkSession,
     binlog_dir: str,
@@ -495,35 +566,17 @@ def stream(
     partition, GoldenGateKafka.java:242-259)."""
     if multi:
         router = TableRouter(table_path)
+        staging_root_m = os.path.join(table_path, "_staging")
 
         def handle_multi(bdf: DataFrame, _bid: int) -> None:
-            # refuse a trigger-split (incomplete) segment BEFORE any
-            # per-table commit — multi mode has no staging path (yet),
-            # and a partial per-table commit would poison those tables
-            seen = {
-                r["epoch"]: r["n_files"]
-                for r in bdf.select(
-                    "epoch", F.nullif(F.input_file_name(), F.lit("")).alias("_file")
-                )
-                .groupBy("epoch")
-                .agg(F.countDistinct("_file").alias("n_files"))
-                .collect()
-            }
-            expected = list_segments(binlog_dir)
-            for e in sorted(seen):
-                n_expected = len(expected.get(e, []))
-                if 0 < seen[e] < n_expected:
-                    raise RuntimeError(
-                        f"incomplete segment delivery: epoch {e} arrived "
-                        f"with {seen[e]}/{n_expected} files; multi-table "
-                        "streaming requires whole segments per trigger "
-                        "(raise maxFilesPerTrigger to >= files per segment)"
-                    )
             # apply_batch_multi is per-(table, epoch) idempotent, so
-            # redelivered epochs no-op per table with content verification
-            for e in sorted(seen):
-                apply_batch_multi(spark, router, bdf.filter(F.col("epoch") == e), e,
-                                  dedupe_mode=dedupe_mode)
+            # redelivered epochs no-op per table with content
+            # verification; the gate stages trigger-split segments until
+            # complete, exactly like the single-table driver
+            for e, cur, _ in _epoch_gate(
+                spark, bdf, binlog_dir, staging_root_m, lambda _e: False
+            ):
+                apply_batch_multi(spark, router, cur, e, dedupe_mode=dedupe_mode)
 
         writer = (
             stream_reader(spark, binlog_dir, max_files_per_trigger, wire=wire)
@@ -541,77 +594,19 @@ def stream(
     lineage_dir = os.path.join(table_path, "_lineage")
     staging_root = os.path.join(table_path, "_staging")
 
-    def _stage_dir(e: int) -> str:
-        return os.path.join(staging_root, f"epoch={e:08d}")
-
-    def _staged_files(e: int) -> set[str]:
-        """Source segment files already staged for an incomplete epoch."""
-        d = _stage_dir(e)
-        # a crash mid-append can leave only _temporary behind; reading
-        # a partless dir would fail schema inference
-        if not os.path.isdir(d) or not any(
-            f.startswith("part-") for f in os.listdir(d)
-        ):
-            return set()
-        return {
-            r["_src_file"]
-            for r in spark.read.parquet(d).select("_src_file").distinct().collect()
-        }
-
     def handle(bdf: DataFrame, _bid: int) -> None:
-        # one tiny job: epochs present in this micro-batch + which
-        # distinct segment files fed each (file-source provenance via
-        # input_file_name). An epoch whose segment is only partially
-        # delivered — the trigger limit split it across micro-batches —
-        # is STAGED, not committed: its rows park under _staging until
-        # the remaining part files arrive (the file source delivers each
-        # file exactly once, so losing them would be permanent), then the
-        # whole segment applies atomically. Empty file names (non-file
-        # source, or provenance lost behind a mapInPandas decode) →
-        # completeness can't be verified → apply directly.
-        per_epoch = {
-            r["epoch"]: set(r["files"])
-            for r in bdf.select(
-                "epoch", F.nullif(F.input_file_name(), F.lit("")).alias("_file")
-            )
-            .groupBy("epoch")
-            .agg(F.collect_set("_file").alias("files"))
-            .collect()
-        }
-        expected = list_segments(binlog_dir)
         floor, watermark, sparse = table.applied_epochs()
         latest = table.max_epoch()
-        blocked = False
-        for e in sorted(per_epoch):
-            applied = e in sparse or (floor is not None and floor <= e <= watermark)
-            cur = bdf.filter(F.col("epoch") == e)
-            staged = _staged_files(e)
-            have = per_epoch[e] | staged
-            n_expected = len(expected.get(e, []))
-            incomplete = per_epoch[e] and len(have) < n_expected
-            if not applied and (blocked or incomplete):
-                # park this epoch's rows (and, once one epoch is parked,
-                # every later epoch's too — applying e+1 before e would
-                # break the DDL-before-DML order across epochs)
-                cur.withColumn("_src_file", F.input_file_name()).write.mode(
-                    "append"
-                ).parquet(_stage_dir(e))
-                blocked = True
-                continue
-            if not applied and latest is not None and e != latest + 1:
+
+        def is_applied(e: int) -> bool:
+            return e in sparse or (floor is not None and floor <= e <= watermark)
+
+        for e, cur, _ in _epoch_gate(spark, bdf, binlog_dir, staging_root, is_applied):
+            if not is_applied(e) and latest is not None and e != latest + 1:
                 raise RuntimeError(
                     f"out-of-order segment delivery: epoch {e} arrived but "
                     f"the latest applied epoch is {latest}; binlog "
                     "segments must be delivered in epoch order"
-                )
-            if staged:
-                # whole segment = staged parts ∪ this delivery; a
-                # checkpoint replay can overlap them, so dedupe by lsn
-                # (unique per event) — rare path, split epochs only
-                cur = (
-                    spark.read.parquet(_stage_dir(e)).drop("_src_file")
-                    .unionByName(cur)
-                    .dropDuplicates(["lsn"])
                 )
             # applied epochs still go through apply_batch: it no-ops on a
             # true redelivery but fails loudly if this delivery's contents
@@ -621,10 +616,6 @@ def stream(
                 dedupe_mode=dedupe_mode, lineage_dir=lineage_dir,
                 verify_redelivery=True,
             )
-            if staged:
-                import shutil as _shutil
-
-                _shutil.rmtree(_stage_dir(e), ignore_errors=True)
             sparse.add(e)
             latest = e if latest is None else max(latest, e)
 

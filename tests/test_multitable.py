@@ -85,3 +85,23 @@ def test_dropped_column_values_do_not_resurrect(spark, workdir, mt_binlog):
         r for r in rows if r["last_lsn"] > readd_lsn and r["rating"] is not None
     ]
     assert fresh_valued, "some post-re-add rows must carry the new column"
+
+
+def test_multi_stream_trigger_split_stages_then_applies(spark, workdir, mt_cfg):
+    """Multi-table streaming with a trigger limit below the 4 files per
+    segment: partial segments must stage (never partially commit any
+    table) and converge to the same per-table final state."""
+    import os
+
+    from cdc_spark.streaming.pipeline import stream
+
+    d = f"{workdir}/binlog_mt_parts"
+    write_binlog(mt_cfg, d, parts=4)
+    root = f"{workdir}/mt_stream_split"
+    router = stream(
+        spark, d, root, checkpoint_dir=f"{workdir}/ckpt_mt_split",
+        multi=True, max_files_per_trigger=3,
+    )
+    _assert_router_matches_oracle(spark, router, d, mt_cfg.tables)
+    staging = f"{root}/_staging"
+    assert not os.path.isdir(staging) or not os.listdir(staging)
