@@ -368,7 +368,9 @@ def exact_pairs_blocked(
     # with B(B+1)/2 distinct keys, i.e. that many evenly-sized pair-tasks
     a = s.alias("a").join(F.broadcast(bp), F.col("a._blk") == F.col("bi"))
     b = s.alias("b").join(F.broadcast(bp), F.col("b._blk") == F.col("bj"))
-    joined = a.join(b, on=["bi", "bj"])
+    # shuffle-hash, not sort-merge: pair enumeration needs no ordering,
+    # so sorting the replicated sides is pure waste
+    joined = a.join(b.hint("shuffle_hash"), on=["bi", "bj"])
     keep = (F.col("bi") < F.col("bj")) | (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     # the pair volume is O(n²) by construction, so the per-pair dot runs
     # in an Arrow-batched numpy kernel (~10× the interpreted fold of

@@ -105,6 +105,22 @@ def test_no_cartesian_in_any_contract_query(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_exact_pairs_grid_join_shape(spark):
+    """exact_pairs_blocked must plan as broadcast block-pair replication
+    + one shuffled HASH join on the composite key — no cartesian, no
+    wasted sort (pair enumeration needs no ordering)."""
+    from cdc_spark.functions.similarity import exact_pairs_blocked
+    from cdc_spark.plans.inspect import formatted_plan
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    plan = formatted_plan(exact_pairs_blocked(df, 0.5, n_blocks=4))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_topk_plan_has_no_shuffle(spark):
     """brute_force_topk must plan as TakeOrderedAndProject (per-partition
     heaps + driver merge) — no global sort, no exchange."""
