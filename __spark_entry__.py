@@ -493,6 +493,16 @@ def _q_streaming_stats(spark, sf):
     return spark.createDataFrame(sorted(final.values(), key=lambda d: d["source"]))
 
 
+def _q_windowed_agg(spark, sf):
+    """Event-time tumbling-window rollup (the streaming watermark
+    operator's aggregation, exercised batch-side where it is exactly
+    SQL-oracle-able; the watermark/late-data behavior is pinned by
+    tests/test_windowed.py)."""
+    from cdc_spark.streaming.windowed import windowed_event_stats
+
+    return windowed_event_stats(_load(spark, sf, "events"))
+
+
 def _q_multi_table_route(spark, sf):
     """Multi-table routing semantics on the events table (event_type as
     the routed table): per-table LWW-resolved row count + lsn watermark —
@@ -573,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hot_keys": _q_hot_keys,                 # §4.3 skew histogram
         "cdc_epoch_lineage": _q_epoch_lineage,       # F3 per-epoch lineage
         "cdc_multi_table_route": _q_multi_table_route,  # per-table dispatch semantics
+        "cdc_windowed_agg": _q_windowed_agg,         # event-time window rollup
         # training-data pipeline ops
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -791,6 +802,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "cdc_windowed_agg": """
+            SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT)
+                       AS window_start_s,
+                   event_type,
+                   count(*) AS n_events,
+                   round(CAST(sum(value) AS DOUBLE), 3) AS sum_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "cdc_multi_table_route": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
