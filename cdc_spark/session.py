@@ -38,6 +38,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("CDC_SPARK_DRIVER_MEM", "8g"))
+        # pinned heap: an elastic JVM heap on this class of microVM spends
+        # 50-96% CPU in kernel page-fault handling; -Xms=-Xmx + pre-touch
+        # removes it. Only effective when THIS builder launches the JVM
+        # (python -m / tests / bench); under spark-submit the driver JVM
+        # already exists and these are ignored — pass submit flags there
+        # (tools/bench_scaling.py does).
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('CDC_SPARK_DRIVER_MEM', '8g')} -XX:+AlwaysPreTouch",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
