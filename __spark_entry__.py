@@ -401,6 +401,13 @@ def _q_media_features(spark, sf):
     )
 
 
+def _q_media_resize(spark, sf):
+    from cdc_spark.functions.multimodal import documents_as_media, resize_images
+
+    media = documents_as_media(_load(spark, sf, "documents"))
+    return resize_images(media, max_side=32, fake=True)
+
+
 def _q_media_frame_sample(spark, sf):
     from cdc_spark.functions.multimodal import documents_as_media, frame_sample
 
@@ -600,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_exact": _q_emb_near_dup_exact,
         "media_features": _q_media_features,
         "media_frame_sample": _q_media_frame_sample,
+        "media_resize": _q_media_resize,
         "enrich_broadcast_join": _q_enrich_broadcast,
         "lineitem_pricing_agg": _q_lineitem_pricing,
         # non-SQL-expressible / approximate (rows-only checks)
@@ -776,6 +784,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
                    CAST(16 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height
             FROM documents
+        """,
+        "media_resize": """
+            WITH dims AS (
+                SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                       16 + octet_length(encode(text)) % 64 AS w,
+                       16 + (octet_length(encode(text)) // 64) % 64 AS h
+                FROM documents
+            ),
+            scaled AS (
+                SELECT asset_id, w, h,
+                       CASE WHEN greatest(w, h) <= 32 THEN w
+                            ELSE greatest(1, (w * 32) // greatest(w, h)) END AS wo,
+                       CASE WHEN greatest(w, h) <= 32 THEN h
+                            ELSE greatest(1, (h * 32) // greatest(w, h)) END AS ho
+                FROM dims
+            )
+            SELECT asset_id,
+                   CAST(w AS INT) AS width_in, CAST(h AS INT) AS height_in,
+                   CAST(wo AS INT) AS width_out, CAST(ho AS INT) AS height_out,
+                   CAST(wo * ho * 3 AS BIGINT) AS n_bytes_out
+            FROM scaled
         """,
         "media_frame_sample": """
             SELECT CAST(doc_id AS VARCHAR) AS asset_id,

@@ -140,6 +140,51 @@ def frame_sample(df: DataFrame, every_n: int = 30, fake: bool = True) -> DataFra
     return df.select("asset_id", "media_type", "payload").mapInPandas(batches, schema=schema)
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("asset_id", StringType(), False),
+    StructField("width_in", IntegerType(), False),
+    StructField("height_in", IntegerType(), False),
+    StructField("width_out", IntegerType(), False),
+    StructField("height_out", IntegerType(), False),
+    StructField("n_bytes_out", LongType(), False),
+])
+
+
+def resize_images(df: DataFrame, max_side: int = 32, fake: bool = True) -> DataFrame:
+    """Resize images to fit within a `max_side` square, aspect preserved
+    (integer arithmetic, so the SQL oracle reproduces it exactly).
+
+    Decode + scale + re-encode run per blob inside the Arrow batch loop;
+    the fake re-encode reports 3 bytes/pixel. A real implementation
+    swaps `decode_image`/the re-encode for PIL calls in the same loop —
+    the Spark-side shape (batch iteration, 1:1 rows, schema) is real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, mt, payload in zip(pdf["asset_id"], pdf["media_type"], pdf["payload"]):
+                if mt != "image" or payload is None:
+                    continue
+                d = decode_image(bytes(payload), fake=fake)
+                w, h = d["width"], d["height"]
+                m = max(w, h)
+                if m <= max_side:
+                    wo, ho = w, h
+                else:
+                    wo = max(1, (w * max_side) // m)
+                    ho = max(1, (h * max_side) // m)
+                rows.append((aid, w, h, wo, ho, wo * ho * 3))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width_in", "height_in",
+                         "width_out", "height_out", "n_bytes_out"],
+            )
+
+    return df.select("asset_id", "media_type", "payload").mapInPandas(
+        batches, schema=RESIZE_SCHEMA
+    )
+
+
 def documents_as_media(df: DataFrame, media_type: str = "image") -> DataFrame:
     """Adapter: treat the documents table's text bytes as opaque media
     payloads (the sandbox stand-in for real blobs — deterministic, so
