@@ -308,7 +308,13 @@ def _q_emb_topk_ivf(spark, sf):
 
     e = _load(spark, sf, "embeddings")
     # frozen quantizer artifact (100-TB shape: trained offline once);
-    # also what makes this approximate path exactly SQL-oracle-able
+    # also what makes this approximate path exactly SQL-oracle-able.
+    # n_probe=4/16 keeps the 75% scan-prune demo; on the synthetic
+    # near-random vectors that yields recall@10 ≈ 4-5/10 (6-7/10 at
+    # n_probe 6-8 — measured via the oracles) — real recall behavior is
+    # pinned on clustered fixtures in tests/test_similarity.py, where
+    # ≥8/10 holds, because ANN recall on unclustered random data is
+    # information-theoretically poor for ANY pruning method.
     return ivf_topk(e, _query_vec(spark, sf), k=10, centroids=FIXED_CENTROIDS)
 
 

@@ -328,34 +328,58 @@ def apply_batch_multi(
     t0 = time.monotonic()
 
     # -- phase 0: one pruned pass → per-table stats (which tables, how
-    # many events, lsn range — the per-table redelivery fingerprint) ------
+    # many events, lsn range — the per-table redelivery fingerprint) +
+    # the unknown-op guard, folded so no extra full scan is needed ------
+    stats_rows = batch.groupBy("table").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
+        F.sum(
+            F.when(
+                F.col("op_type").isNull()
+                | ~F.col("op_type").isin("I", "U", "D", "DDL", "H"),
+                1,
+            ).otherwise(0)
+        ).alias("n_unknown"),
+    ).collect()
     per_table = {
         r["table"]: {"n_events": r["n"], "min_lsn": r["lo"], "max_lsn": r["hi"]}
-        for r in batch.groupBy("table").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
-        ).collect()
+        for r in stats_rows
     }
-
-    # -- phase 1: lineage + DDL barrier + unknown-op guard (one pass) -----
-    lineage_rows = lineage_stats(batch).collect()
-    n_unknown = int(sum(r["n_unknown"] for r in lineage_rows))
+    n_unknown = int(sum(r["n_unknown"] for r in stats_rows))
     if n_unknown:
         raise ValueError(
             f"epoch {epoch}: {n_unknown} events with unknown op_type "
             "(not I/U/D/DDL/H); refusing to apply the batch"
         )
-    ddl_rows = sorted(
-        (e for r in lineage_rows for e in r["ddl_events"]), key=lambda e: e["lsn"]
-    )
+
+    # -- phase 1: DDL barrier (all tables, before any DML). With lineage
+    # off this is the pushdown-pruned probe; with lineage on the full
+    # per-partition pass supplies the DDL events for free -----------------
+    if lineage:
+        lineage_rows = lineage_stats(batch).collect()
+        ddl_rows = sorted(
+            (e for r in lineage_rows for e in r["ddl_events"]), key=lambda e: e["lsn"]
+        )
+    else:
+        lineage_rows = []
+        ddl_rows = sorted(
+            batch.filter(F.col("op_type") == "DDL")
+            .select("lsn", "table", "ddl_kind", "ddl_payload")
+            .collect(),
+            key=lambda r: r["lsn"],
+        )
     for r in ddl_rows:
         router.get(r["table"]).apply_ddl(
             spark, r["ddl_kind"], r["ddl_payload"], ddl_id=f"{epoch}:{r['lsn']}"
         )
 
-    # -- phase 2: per-table normalize → dedupe → project → commit ---------
+    # -- phase 2: per-table normalize → dedupe → project → commit, run
+    # from driver threads so the per-table Spark jobs overlap (each
+    # table's journal/data tree is independent; the reference loops its
+    # per-table RDDs sequentially, CTInputDStream.java:65-99) -------------
     applied, skipped = [], []
-    for name in sorted(per_table):
+
+    def _apply_one(name: str) -> bool:
         table = router.get(name)
         if table.has_epoch(epoch):
             recorded = table.epoch_stats(epoch)
@@ -365,14 +389,26 @@ def apply_batch_multi(
                     f"different contents (committed {recorded}, got "
                     f"{per_table[name]})"
                 )
-            skipped.append(name)
-            continue
+            return False
         sub = batch.filter(F.col("table") == name)
         events = normalize(sub, impl=normalize_impl)
         deduped = lww_dedupe(events, key="doc_id", order="lsn", mode=dedupe_mode)
         delta = project_to_table(deduped, table.state()["registry"])
         table.commit_delta(delta, epoch, stats=per_table[name], pre_partitioned=True)
-        applied.append(name)
+        return True
+
+    names = sorted(per_table)
+    for name in names:
+        router.get(name)  # create journals serially before the pool
+    if len(names) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(names))) as pool:
+            results = list(pool.map(_apply_one, names))
+    else:
+        results = [_apply_one(n) for n in names]
+    for name, did in zip(names, results):
+        (applied if did else skipped).append(name)
 
     dt = time.monotonic() - t0
     if lineage:
