@@ -381,19 +381,30 @@ def write_binlog(cfg: GenConfig, outdir: str, parts: int = 1) -> list[str]:
     strict lsn order, so the oracle applier is unaffected."""
     os.makedirs(outdir, exist_ok=True)
     paths = []
+    manifest: dict[str, int] = {}
     for e in range(cfg.n_epochs):
         t = generate_epoch(cfg, e)
         if parts <= 1:
             p = os.path.join(outdir, f"segment-{e:05d}.parquet")
             pq.write_table(t, p)
             paths.append(p)
+            manifest[str(e)] = 1
             continue
         n = t.num_rows
         step = (n + parts - 1) // parts
+        n_written = 0
         for pi, lo in enumerate(range(0, n, step)):
             # 5-digit pad: lexicographic order must equal lsn order for
             # any realistic parts count (p1000 would sort before p999)
             p = os.path.join(outdir, f"segment-{e:05d}-p{pi:05d}.parquet")
             pq.write_table(t.slice(lo, step), p)
             paths.append(p)
+            n_written += 1
+        manifest[str(e)] = n_written
+    # epoch manifest: files-per-segment ground truth, so a consumer of a
+    # PARTIALLY-SYNCED copy of this feed can tell "segment not fully
+    # arrived yet" (stage it) from "segment legitimately has fewer parts"
+    # — a bare directory listing cannot. Segment bytes are unchanged.
+    with open(os.path.join(outdir, "_manifest.json"), "w") as f:
+        json.dump({"epochs": manifest}, f)
     return paths

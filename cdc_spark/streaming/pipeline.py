@@ -549,14 +549,23 @@ def _epoch_gate(spark, bdf, binlog_dir, staging_root, is_applied):
         .agg(F.collect_set("_file").alias("files"))
         .collect()
     }
-    expected = list_segments(binlog_dir)
+    # files-per-segment ground truth: the feed's epoch manifest when
+    # present (lets a partially-synced feed copy stage correctly — the
+    # bare listing can't tell "not yet arrived" from "fewer parts"),
+    # else the directory listing
+    manifest_path = os.path.join(binlog_dir, "_manifest.json")
+    if os.path.isfile(manifest_path):
+        with open(manifest_path) as f:
+            expected_n = {int(k): int(v) for k, v in json.load(f)["epochs"].items()}
+    else:
+        expected_n = {e: len(ps) for e, ps in list_segments(binlog_dir).items()}
     blocked = False
     for e in sorted(per_epoch):
         applied = is_applied(e)
         cur = bdf.filter(F.col("epoch") == e)
         staged = _staged_files(e)
         have = per_epoch[e] | staged
-        n_expected = len(expected.get(e, []))
+        n_expected = expected_n.get(e, 0)
         incomplete = per_epoch[e] and len(have) < n_expected
         if not applied and (blocked or incomplete):
             cur.withColumn("_src_file", F.input_file_name()).write.mode(

@@ -135,3 +135,46 @@ def test_trigger_split_epoch_stages_then_applies(spark, workdir):
     assert_matches_oracle(spark, table, d)
     staging = f"{tdir}/_staging"
     assert not os.path.isdir(staging) or not os.listdir(staging)
+
+
+def test_staged_epoch_survives_restart_and_applies_when_files_arrive(spark, workdir):
+    """A feed whose tail segment is genuinely incomplete leaves that
+    epoch STAGED when the stream drains; after the remaining part files
+    arrive, a restart from the same checkpoint merges staged + new rows
+    and converges to the oracle state with the staging drained."""
+    import glob
+    import os
+    import shutil as sh
+
+    from cdc_spark.genlog import GenConfig, write_binlog
+    from cdc_spark.streaming.pipeline import stream
+
+    cfg = GenConfig(n_events=3000, n_docs=300, events_per_epoch=1000, seed=29)
+    full = f"{workdir}/binlog_stage_restart_full"
+    write_binlog(cfg, full, parts=4)
+    feed = f"{workdir}/feed_stage_restart"
+    os.makedirs(feed, exist_ok=True)
+    # epochs 0,1 complete; epoch 2 delivers only 2 of 4 parts. The epoch
+    # manifest rides along — it is what lets the gate KNOW the segment
+    # is short (the bare dir listing can't).
+    sh.copy(f"{full}/_manifest.json", feed)
+    for p in sorted(glob.glob(f"{full}/segment-0000[01]-*.parquet")):
+        sh.copy(p, feed)
+    for p in sorted(glob.glob(f"{full}/segment-00002-*.parquet"))[:2]:
+        sh.copy(p, feed)
+    tdir = f"{workdir}/t_stage_restart"
+    ckpt = f"{workdir}/ckpt_stage_restart"
+    table = stream(spark, feed, tdir, checkpoint_dir=ckpt)
+    _, _, sparse = table.applied_epochs()
+    assert 2 not in sparse  # incomplete epoch not committed
+    assert os.path.isdir(f"{tdir}/_staging/epoch=00000002")
+    # the missing parts arrive; restart from the same checkpoint
+    import time as _t
+
+    _t.sleep(1.1)
+    for p in sorted(glob.glob(f"{full}/segment-00002-*.parquet"))[2:]:
+        sh.copy(p, feed)
+    table = stream(spark, feed, tdir, checkpoint_dir=ckpt)
+    assert_matches_oracle(spark, table, full)
+    staging = f"{tdir}/_staging"
+    assert not os.path.isdir(staging) or not os.listdir(staging)
