@@ -130,12 +130,17 @@ def replay_tables(segments: list[str] | str) -> dict[str, tuple[dict, Registry]]
             state, reg = out.setdefault(ev["table"], ({}, Registry()))
             if op == "DDL":
                 if ev["ddl_kind"] == "drop_column":
+                    # default=None: an unknown column must surface as
+                    # Registry.apply's KeyError (the engine's contract),
+                    # not a bare StopIteration from the purge lookup
                     key = next(
-                        c["source_key"] for c in reg.cols
-                        if c["target"] == json.loads(ev["ddl_payload"])["name"]
+                        (c["source_key"] for c in reg.cols
+                         if c["target"] == json.loads(ev["ddl_payload"])["name"]),
+                        None,
                     )
-                    for r in state.values():
-                        r["extra"].pop(key, None)
+                    if key is not None:
+                        for r in state.values():
+                            r["extra"].pop(key, None)
                 reg.apply(ev["ddl_kind"], ev["ddl_payload"])
                 continue
             if op not in ("I", "U", "D"):

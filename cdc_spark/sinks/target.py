@@ -124,10 +124,22 @@ class TargetTable:
 
     def applied_epochs(self, state: dict | None = None) -> tuple[int | None, int, set[int]]:
         """(floor, watermark, sparse): applied ⇔ floor <= e <= watermark
-        or e in the sparse set."""
+        or e in the sparse set.
+
+        Legacy journals (written before epoch_floor existed) carry a
+        watermark but no epoch_floor KEY; their semantics were
+        "everything <= watermark is applied", so the floor reads as
+        -inf — otherwise a resumed legacy table would re-apply every
+        compaction-folded epoch (duplicate deltas)."""
         st = state or self.state()
+        if "epoch_floor" in st:
+            floor = st["epoch_floor"]
+        elif st.get("epoch_watermark", -(10**18)) > -(10**18):
+            floor = -(10**18)  # legacy journal with a folded watermark
+        else:
+            floor = None
         return (
-            st.get("epoch_floor"),
+            floor,
             st.get("epoch_watermark", -(10**18)),
             set(st["epochs"]),
         )
@@ -310,9 +322,12 @@ class TargetTable:
                 "version": st["version"] + 1,
                 "kind": "delta",
                 "delta_epochs": st["delta_epochs"] + [epoch],
-                "epoch_floor": epoch
-                if st.get("epoch_floor") is None
-                else min(st["epoch_floor"], epoch),
+                # resolved via applied_epochs so a legacy journal (no
+                # epoch_floor key) keeps its -inf floor instead of
+                # un-applying its folded watermark range
+                "epoch_floor": (lambda f: epoch if f is None else min(f, epoch))(
+                    self.applied_epochs(st)[0]
+                ),
                 "epochs": sorted(set(st["epochs"]) | {epoch}),
                 "epochs_applied": st.get("epochs_applied", 0) + 1,
                 "epoch_stats": {**st.get("epoch_stats", {}),
@@ -437,16 +452,27 @@ class TableRouter:
         the reference's create-if-absent per table, CDCKudu.java:68-126)."""
         t = self._tables.get(name)
         if t is None:
-            t = TargetTable(
-                os.path.join(self.root, "tables", self._safe(name)),
-                compact_every=self.compact_every, buckets=self.buckets,
-            )
+            path = os.path.join(self.root, "tables", self._safe(name))
+            t = TargetTable(path, compact_every=self.compact_every, buckets=self.buckets)
             t.create_if_absent()
+            marker = os.path.join(path, "_table_name")
+            if not os.path.isfile(marker):
+                with open(marker, "w") as f:
+                    f.write(name)
             self._tables[name] = t
         return t
 
     def names(self) -> list[str]:
-        """Tables present on disk (discovery for resumed jobs)."""
+        """Routed (raw) table names present on disk — read from each
+        table dir's _table_name marker so sanitized directory names never
+        leak into (or double-count against) the raw namespace."""
         d = os.path.join(self.root, "tables")
-        found = set(os.listdir(d)) if os.path.isdir(d) else set()
+        found = set()
+        for child in os.listdir(d) if os.path.isdir(d) else []:
+            marker = os.path.join(d, child, "_table_name")
+            if os.path.isfile(marker):
+                with open(marker) as f:
+                    found.add(f.read())
+            else:
+                found.add(child)  # pre-marker table dir: name == dir
         return sorted(found | set(self._tables))

@@ -246,12 +246,22 @@ def _apply_batch_observed(
     stats via Observation on the delta-write job (see apply_batch)."""
     from pyspark.sql import Observation
 
-    ddl_rows = sorted(
-        batch.filter(F.col("op_type") == "DDL")
-        .select("lsn", "ddl_kind", "ddl_payload")
-        .collect(),
-        key=lambda r: r["lsn"],
-    )
+    # one pruned probe returns BOTH the DDL rows and any unknown-op rows,
+    # so the strict guard fires BEFORE any DDL mutates the table — on the
+    # lineage path a refused batch leaves the table untouched, and the
+    # fast path must match (a drop_column would otherwise have already
+    # compacted the column away for a batch the engine claims it refused)
+    probe = batch.filter(
+        F.col("op_type").isNull()
+        | ~F.col("op_type").isin("I", "U", "D", "H")
+    ).select("lsn", "op_type", "ddl_kind", "ddl_payload").collect()
+    n_unknown_probe = sum(1 for r in probe if r["op_type"] != "DDL")
+    if n_unknown_probe:
+        raise ValueError(
+            f"epoch {epoch}: {n_unknown_probe} events with unknown op_type "
+            "(not I/U/D/DDL/H); refusing to apply the batch"
+        )
+    ddl_rows = sorted((r for r in probe if r["op_type"] == "DDL"), key=lambda r: r["lsn"])
     for r in ddl_rows:
         table.apply_ddl(spark, r["ddl_kind"], r["ddl_payload"], ddl_id=f"{epoch}:{r['lsn']}")
     registry = table.state()["registry"]
@@ -559,18 +569,31 @@ def _epoch_gate(spark, bdf, binlog_dir, staging_root, is_applied):
             expected_n = {int(k): int(v) for k, v in json.load(f)["epochs"].items()}
     else:
         expected_n = {e: len(ps) for e, ps in list_segments(binlog_dir).items()}
+    # previously-staged epochs participate even when THIS batch carries
+    # no rows for them: a fully-staged epoch (parked by the `blocked`
+    # flag while an earlier one was incomplete) would otherwise never be
+    # yielded again — the file source won't redeliver its files — and a
+    # staged-incomplete epoch must keep blocking later epochs across
+    # batches (cross-epoch DDL-before-DML order)
+    staged_epochs: set[int] = set()
+    if os.path.isdir(staging_root):
+        for d in os.listdir(staging_root):
+            if d.startswith("epoch="):
+                staged_epochs.add(int(d.split("=", 1)[1]))
     blocked = False
-    for e in sorted(per_epoch):
+    for e in sorted(set(per_epoch) | staged_epochs):
         applied = is_applied(e)
+        new_files = per_epoch.get(e, set())
         cur = bdf.filter(F.col("epoch") == e)
         staged = _staged_files(e)
-        have = per_epoch[e] | staged
+        have = new_files | staged
         n_expected = expected_n.get(e, 0)
-        incomplete = per_epoch[e] and len(have) < n_expected
+        incomplete = bool(have) and len(have) < n_expected
         if not applied and (blocked or incomplete):
-            cur.withColumn("_src_file", F.input_file_name()).write.mode(
-                "append"
-            ).parquet(_stage_dir(e))
+            if new_files:  # nothing new to park for staged-only epochs
+                cur.withColumn("_src_file", F.input_file_name()).write.mode(
+                    "append"
+                ).parquet(_stage_dir(e))
             blocked = True
             continue
         if staged:

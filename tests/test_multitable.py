@@ -105,3 +105,34 @@ def test_multi_stream_trigger_split_stages_then_applies(spark, workdir, mt_cfg):
     _assert_router_matches_oracle(spark, router, d, mt_cfg.tables)
     staging = f"{root}/_staging"
     assert not os.path.isdir(staging) or not os.listdir(staging)
+
+
+def test_multi_stream_blocks_later_epoch_behind_incomplete_one(spark, workdir, mt_cfg):
+    """Round-2 review finding: multi-table streaming must not commit
+    epoch e+1 while epoch e is staged-incomplete (cross-epoch DDL order);
+    once e completes, both apply in order and match the oracle."""
+    import glob
+    import os
+    import shutil as sh
+    import time as _t
+
+    from cdc_spark.streaming.pipeline import stream
+
+    full = f"{workdir}/binlog_mt_block_full"
+    write_binlog(mt_cfg, full, parts=4)
+    feed = f"{workdir}/feed_mt_block"
+    os.makedirs(feed, exist_ok=True)
+    sh.copy(f"{full}/_manifest.json", feed)
+    for p in sorted(glob.glob(f"{full}/segment-00000-*.parquet"))[:2]:
+        sh.copy(p, feed)
+    for p in sorted(glob.glob(f"{full}/segment-0000[123]-*.parquet")):
+        sh.copy(p, feed)
+    root, ckpt = f"{workdir}/mt_block_root", f"{workdir}/ckpt_mt_block"
+    router = stream(spark, feed, root, checkpoint_dir=ckpt, multi=True)
+    for name in router.names():
+        assert router.get(name).max_epoch() is None  # nothing committed
+    _t.sleep(1.1)
+    for p in sorted(glob.glob(f"{full}/segment-00000-*.parquet"))[2:]:
+        sh.copy(p, feed)
+    router = stream(spark, feed, root, checkpoint_dir=ckpt, multi=True)
+    _assert_router_matches_oracle(spark, router, full, mt_cfg.tables)

@@ -178,3 +178,40 @@ def test_staged_epoch_survives_restart_and_applies_when_files_arrive(spark, work
     assert_matches_oracle(spark, table, full)
     staging = f"{tdir}/_staging"
     assert not os.path.isdir(staging) or not os.listdir(staging)
+
+
+def test_parked_complete_epoch_is_not_lost(spark, workdir):
+    """Round-2 review finding: an epoch parked by the blocked flag (its
+    OWN segment complete, but an earlier epoch incomplete) must apply
+    later even though the file source never redelivers its files — and
+    the incomplete earlier epoch must keep blocking it across batches."""
+    import glob
+    import os
+    import shutil as sh
+    import time as _t
+
+    from cdc_spark.genlog import GenConfig, write_binlog
+    from cdc_spark.streaming.pipeline import stream
+
+    cfg = GenConfig(n_events=2000, n_docs=200, events_per_epoch=1000, seed=31)
+    full = f"{workdir}/binlog_parked_full"
+    write_binlog(cfg, full, parts=4)
+    feed = f"{workdir}/feed_parked"
+    os.makedirs(feed, exist_ok=True)
+    sh.copy(f"{full}/_manifest.json", feed)
+    # partial epoch 0 (2/4) + ALL of epoch 1 in the first delivery
+    for p in sorted(glob.glob(f"{full}/segment-00000-*.parquet"))[:2]:
+        sh.copy(p, feed)
+    for p in sorted(glob.glob(f"{full}/segment-00001-*.parquet")):
+        sh.copy(p, feed)
+    tdir, ckpt = f"{workdir}/t_parked", f"{workdir}/ckpt_parked"
+    table = stream(spark, feed, tdir, checkpoint_dir=ckpt)
+    _f, _w, sparse = table.applied_epochs()
+    assert sparse == set()  # neither epoch committed (0 incomplete, 1 parked)
+    _t.sleep(1.1)
+    for p in sorted(glob.glob(f"{full}/segment-00000-*.parquet"))[2:]:
+        sh.copy(p, feed)
+    table = stream(spark, feed, tdir, checkpoint_dir=ckpt)
+    assert_matches_oracle(spark, table, full)
+    staging = f"{tdir}/_staging"
+    assert not os.path.isdir(staging) or not os.listdir(staging)
