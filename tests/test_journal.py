@@ -57,3 +57,24 @@ def test_resolved_rows_survive_compaction(spark, tmp_path):
     rows = {r["doc_id"] for r in t.read_resolved(spark).collect()}
     assert rows == {"a", "b"}
     assert t.state()["epoch_floor"] == 5
+
+
+def test_orphan_delta_dir_from_crash_is_ignored_then_overwritten(spark, tmp_path):
+    """Crash window: delta files written but journal never committed
+    (e.g. the fast path's guard raised after the write). The orphan dir
+    must not be read (only journaled delta_epochs resolve) and a later
+    apply of the same epoch must overwrite it cleanly."""
+    import os
+
+    t = TargetTable(str(tmp_path / "t"), compact_every=100)
+    t.create_if_absent()
+    t.commit_delta(_delta(spark, t, doc="a", lsn=1), epoch=0)
+    # simulate the crash leftovers: garbage rows in an unjournaled epoch dir
+    orphan = str(tmp_path / "t" / "delta" / "epoch=00000007")
+    _delta(spark, t, doc="GARBAGE", lsn=999).write.mode("overwrite").parquet(orphan)
+    assert os.path.isdir(orphan)
+    rows = {r["doc_id"] for r in t.read_resolved(spark).collect()}
+    assert rows == {"a"}  # orphan not visible
+    t.commit_delta(_delta(spark, t, doc="b", lsn=2), epoch=7)
+    rows = {r["doc_id"] for r in t.read_resolved(spark).collect()}
+    assert rows == {"a", "b"}  # garbage overwritten, not unioned
