@@ -78,3 +78,61 @@ def test_orphan_delta_dir_from_crash_is_ignored_then_overwritten(spark, tmp_path
     t.commit_delta(_delta(spark, t, doc="b", lsn=2), epoch=7)
     rows = {r["doc_id"] for r in t.read_resolved(spark).collect()}
     assert rows == {"a", "b"}  # garbage overwritten, not unioned
+
+
+def test_bootstrap_then_incremental_replay(spark, workdir, small_binlog):
+    """Initial load (bootstrap from an existing tokens parquet at lsn 0)
+    + incremental replay: feed events (lsn >= 1) win LWW over seeded
+    rows, feed deletes remove seeded docs, and untouched seeded docs
+    survive — the standard initial-load-then-CDC deployment."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from cdc_spark import oracle
+    from cdc_spark.streaming.pipeline import replay
+
+    # a seed corpus: doc ids that overlap the feed plus some that don't
+    seed_rows = [
+        (f"doc1000{i:04d}", [1, 2, i], 3, "seed") for i in range(50)
+    ] + [("zzz_seed_only_%d" % i, [9, 9], 2, "seed") for i in range(5)]
+    seed = spark.createDataFrame(
+        seed_rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    tdir = f"{workdir}/t_bootstrap"
+    t = TargetTable(tdir)
+    t.create_if_absent()
+    t.commit_delta(
+        seed.select(
+            "doc_id", "tokens", "n_tok", "source",
+            F.lit(0).cast("long").alias("last_lsn"),
+            F.lit(False).alias("deleted"),
+        ),
+        epoch=-1,
+    )
+    replay(spark, small_binlog, tdir)
+
+    state, reg = oracle.replay(f"{small_binlog}/segment-*.parquet")
+    expected = {r["doc_id"]: r for r in oracle.final_rows(state, reg)}
+    touched = set()
+    for seg in sorted(glob.glob(f"{small_binlog}/segment-*.parquet")):
+        for ev in pq.read_table(seg).to_pylist():
+            for side in ("before", "after"):
+                if ev[side] and ev[side]["doc_id"]:
+                    touched.add(ev[side]["doc_id"])
+            if ev["doc_id"]:
+                touched.add(ev["doc_id"])
+    actual = {r["doc_id"]: r.asDict() for r in t.read_resolved(spark).collect()}
+    for doc_id, tokens, n_tok, source in seed_rows:
+        if doc_id in touched:
+            continue  # the feed's outcome governs
+        assert actual[doc_id]["tokens"] == tokens and actual[doc_id]["last_lsn"] == 0
+    for doc_id, want in expected.items():
+        got = actual[doc_id]
+        assert list(got["tokens"] or []) == list(want["tokens"] or [])
+        assert got["last_lsn"] == want["last_lsn"]
+    # nothing else: every actual row is either feed-final or untouched seed
+    assert set(actual) == set(expected) | {
+        d for d, *_ in seed_rows if d not in touched
+    }
