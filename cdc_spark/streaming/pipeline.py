@@ -563,12 +563,16 @@ def _epoch_gate(spark, bdf, binlog_dir, staging_root, is_applied):
     # present (lets a partially-synced feed copy stage correctly — the
     # bare listing can't tell "not yet arrived" from "fewer parts"),
     # else the directory listing
+    expected_n = {e: len(ps) for e, ps in list_segments(binlog_dir).items()}
     manifest_path = os.path.join(binlog_dir, "_manifest.json")
     if os.path.isfile(manifest_path):
         with open(manifest_path) as f:
-            expected_n = {int(k): int(v) for k, v in json.load(f)["epochs"].items()}
-    else:
-        expected_n = {e: len(ps) for e, ps in list_segments(binlog_dir).items()}
+            # manifest wins where it speaks; epochs it doesn't know
+            # (appended after the manifest was written) keep the listing
+            # count rather than silently skipping the completeness check
+            expected_n.update(
+                {int(k): int(v) for k, v in json.load(f)["epochs"].items()}
+            )
     # previously-staged epochs participate even when THIS batch carries
     # no rows for them: a fully-staged epoch (parked by the `blocked`
     # flag while an earlier one was incomplete) would otherwise never be
