@@ -114,7 +114,14 @@ LINEAGE_SCHEMA = T.StructType(
 #: (reference schema evolution is add/drop nullable only, CDCKudu.java:68-126;
 #: we additionally support rename + widen per the north rule).
 EXTRA_TYPES = {"int", "long", "float", "double", "string", "boolean"}
-WIDENINGS = {("int", "long"), ("int", "double"), ("float", "double"), ("long", "double")}
+#: Exactly the promotions both Iceberg's ALTER COLUMN TYPE and Spark 4's
+#: parquet readers support in place — which is what makes widen_column a
+#: metadata-only operation (sinks/target.py): old files keep the narrow
+#: physical type and the reader upcasts. long→double is deliberately NOT
+#: here (Iceberg forbids it too: doubles carry 53 mantissa bits, the
+#: promotion would silently lose precision, and the parquet reader
+#: rejects it).
+WIDENINGS = {("int", "long"), ("int", "double"), ("float", "double")}
 
 SPARK_TYPE = {
     "int": T.IntegerType(),

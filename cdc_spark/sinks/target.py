@@ -11,8 +11,9 @@ map 1:1 to Iceberg operations:
 | commit_delta(epoch=E)         | MERGE INTO … with snapshot summary        |
 |                               | property cdc.epoch=E (idempotency guard)  |
 | merge-on-read resolution      | equality-delete files + MoR scan          |
-| compact()                     | rewrite_data_files                        |
-| apply_ddl add/rename/widen    | ALTER TABLE ADD/RENAME/ALTER COLUMN       |
+| compact()                     | rewrite_data_files (dirty partitions only)|
+| apply_ddl (all four kinds)    | ALTER TABLE — metadata-only, like Iceberg |
+| registry `phys` ids           | Iceberg field IDs (name-independent)      |
 
 The reference has none of this: offsets live in driver memory
 (CTInputDStream.java:60-62,96-97 — restart rereads from 0) and sinks are
@@ -21,12 +22,32 @@ that debt: the journal rename is the single atomic commit point; a
 re-delivered epoch is a no-op (has_epoch guard), so replay from any
 checkpoint converges to the same state.
 
+Schema evolution is METADATA-ONLY (round-3 redesign): every DDL-added
+column gets a stable physical name (`phys`, unique per add-DDL lsn — the
+moral equivalent of an Iceberg field ID), and rename/widen/drop mutate
+only the registry mapping: rename changes the logical `target` name,
+widen changes the read/write type (Spark 4's parquet readers upcast
+int→long, int→double and float→double in place — exactly the WIDENINGS
+set), drop removes the mapping (the
+stale phys column simply stops being read). No DDL ever rewrites data —
+the reference's Kudu sink likewise alters and continues without a data
+rewrite (CDCKudu.java:68-126); at 100 TB an inline O(table) rewrite
+inside the DDL-before-DML barrier would stall the stream for hours.
+Stale phys columns are physically dropped whenever their bucket is next
+compacted.
+
 Write amplification: each micro-batch appends O(batch) delta bytes (the
 merge-on-read choice — a copy-on-write MERGE would rewrite O(table)
-bytes per batch, which cannot work at 10^10 events); reads resolve LWW
-with one hash aggregate; compaction every `compact_every` commits bounds
-read fan-in. Deltas and base are written partitioned-by-bucket of doc_id
-so the resolve aggregate shuffles evenly under Zipf keys.
+bytes per batch, which cannot work at 10^10 events). The base is written
+parquet-partitioned by `_bucket = pmod(xxhash64(doc_id), buckets)`;
+compaction rewrites ONLY buckets that have delta rows (clean buckets are
+carried forward as hard links — the file-manifest reuse Iceberg's
+rewrite_data_files does), and the read-side LWW resolve takes a
+broadcast-join fast path (base streams unshuffled; only the small delta
+set aggregates) whenever the journal proves every delta lsn exceeds
+`base_max_lsn` — the steady-state streaming case. A late-delivered
+epoch below the compaction watermark invalidates that proof and falls
+back to the full hash-aggregate resolve.
 """
 
 from __future__ import annotations
@@ -49,15 +70,34 @@ BASE_FIELDS = [
     ("source", T.StringType()),
 ]
 
+_NEG_INF = -(10**18)
+
+
+def norm_registry(reg: list[dict]) -> list[dict]:
+    """Registry entries with `phys` defaulted for legacy journals
+    (pre-round-3 tables rewrote data on rename, so their physical column
+    name always equalled the logical target name)."""
+    return [{**c, "phys": c.get("phys", c["target"])} for c in reg]
+
 
 class TargetTable:
     """PK-addressed mutable table of pre-tokenized sequences (F2)."""
 
-    def __init__(self, path: str, compact_every: int = 16, buckets: int = 32):
+    def __init__(
+        self,
+        path: str,
+        compact_every: int = 16,
+        buckets: int = 32,
+        resolve_join_max_bytes: int = 64 << 20,
+    ):
         self.path = path
         self.journal_dir = os.path.join(path, "_journal")
         self.compact_every = compact_every
         self.buckets = buckets
+        #: delta-volume ceiling for the broadcast-resolve fast path; above
+        #: it the per-key winner set may not fit a broadcast, so resolution
+        #: falls back to the full hash aggregate
+        self.resolve_join_max_bytes = resolve_join_max_bytes
 
     # -- journal ------------------------------------------------------------
 
@@ -83,10 +123,18 @@ class TargetTable:
                     # would treat every epoch < N as already-applied and
                     # silently no-op a late delivery of one.
                     "epoch_floor": None,
-                    "epoch_watermark": -(10**18),
+                    "epoch_watermark": _NEG_INF,
                     "epochs": [],
                     "epochs_applied": 0,
                     "epoch_stats": {},
+                    # bucket layout spec (fixed at create; the mapping is
+                    # persisted in directory names, so it must never change
+                    # over the table's lifetime)
+                    "buckets": self.buckets,
+                    "bucket_fn": "pmod(xxhash64(doc_id), buckets)",
+                    # max last_lsn folded into the base by compaction; the
+                    # proof obligation of the broadcast-resolve fast path
+                    "base_max_lsn": None,
                 }
             )
 
@@ -134,13 +182,13 @@ class TargetTable:
         st = state or self.state()
         if "epoch_floor" in st:
             floor = st["epoch_floor"]
-        elif st.get("epoch_watermark", -(10**18)) > -(10**18):
-            floor = -(10**18)  # legacy journal with a folded watermark
+        elif st.get("epoch_watermark", _NEG_INF) > _NEG_INF:
+            floor = _NEG_INF  # legacy journal with a folded watermark
         else:
             floor = None
         return (
             floor,
-            st.get("epoch_watermark", -(10**18)),
+            st.get("epoch_watermark", _NEG_INF),
             set(st["epochs"]),
         )
 
@@ -149,7 +197,7 @@ class TargetTable:
         _, w, sparse = self.applied_epochs(st)
         if sparse:
             return max(sparse)
-        return None if w <= -(10**18) else w
+        return None if w <= _NEG_INF else w
 
     def epoch_stats(self, epoch: int) -> dict | None:
         """(n_events, min_lsn, max_lsn) recorded when the epoch committed —
@@ -164,10 +212,26 @@ class TargetTable:
     # -- schema -------------------------------------------------------------
 
     def schema(self, registry: list[dict] | None = None) -> T.StructType:
-        """Physical file schema: base cols + registry extras + bookkeeping."""
-        reg = self.state()["registry"] if registry is None else registry
+        """LOGICAL schema (target column names) + bookkeeping columns."""
+        reg = norm_registry(self.state()["registry"] if registry is None else registry)
         fields = [T.StructField(n, t) for n, t in BASE_FIELDS]
         fields += [T.StructField(c["target"], SPARK_TYPE[c["type"]]) for c in reg]
+        fields += [
+            T.StructField("last_lsn", T.LongType()),
+            T.StructField("deleted", T.BooleanType()),
+        ]
+        return T.StructType(fields)
+
+    def phys_schema(self, registry: list[dict] | None = None) -> T.StructType:
+        """PHYSICAL file-read schema: stable `phys` column names at the
+        CURRENT (possibly widened) registry types. Files written before a
+        widen hold the narrower parquet type; Spark 4's parquet readers
+        upcast in place when handed the wider read schema, so a widen
+        never needs a rewrite. Files written before an add lack the
+        column entirely → nulls."""
+        reg = norm_registry(self.state()["registry"] if registry is None else registry)
+        fields = [T.StructField(n, t) for n, t in BASE_FIELDS]
+        fields += [T.StructField(c["phys"], SPARK_TYPE[c["type"]]) for c in reg]
         fields += [
             T.StructField("last_lsn", T.LongType()),
             T.StructField("deleted", T.BooleanType()),
@@ -177,20 +241,24 @@ class TargetTable:
     # -- DDL (K2/K3: reference sink/CDCKudu.java:68-126 alter-before-DML) ----
 
     def apply_ddl(self, spark: SparkSession, kind: str, payload: str, ddl_id: str) -> None:
-        """Apply one schema-evolution event transactionally.
+        """Apply one schema-evolution event transactionally — METADATA-ONLY.
 
-        add_column is metadata-only (old files lack the column → nulls via
-        parquet schema merge). rename/widen rewrite the base via compaction
-        so physical column names/types stay unambiguous — the reference's
-        Kudu sink flushes on every schema change too (CDCKudu.java:372-376)
-        and its rename-as-drop+add *loses data* (CDCKudu.java:91-102 uses a
-        symmetric set diff); ours preserves it — deliberate, test-pinned
-        divergence (SURVEY.md §7.3)."""
+        All four kinds commit a new journal entry and write zero data
+        files (pinned by tests/test_schema_evolution.py): the registry's
+        stable `phys` ids decouple logical names/types from the bytes on
+        disk. rename flips `target`; widen flips `type` (read-side
+        upcast); drop removes the mapping — a later re-add of the same
+        name mints a fresh phys id, so pre-drop values can never leak
+        into the re-added column (data loss on drop is reference
+        behavior, CDCKudu.java:103-106, and ours starts re-adds from
+        nulls). The reference's rename-as-drop+add *loses data*
+        (CDCKudu.java:91-102, symmetric set diff); ours preserves it —
+        deliberate, test-pinned divergence (SURVEY.md §7.3)."""
         st = self.state()
         if ddl_id in st["applied_ddl"]:
             return
         p = json.loads(payload)
-        reg = [dict(c) for c in st["registry"]]
+        reg = norm_registry(st["registry"])
         if kind == "add_column":
             if p["type"] not in SPARK_TYPE:
                 raise ValueError(f"unsupported column type {p['type']}")
@@ -208,18 +276,12 @@ class TargetTable:
             reg.append({
                 "target": p["name"], "source_key": p["name"], "type": p["type"],
                 "add_lsn": add_lsn,
+                # stable physical id: unique because each DDL event owns a
+                # unique lsn (ddl_id = "epoch:lsn"); collision-free with
+                # any legacy phys (legacy phys never contains "_x")
+                "phys": f"{p['name']}_x{add_lsn}",
             })
-            self._commit(
-                {
-                    **st,
-                    "version": st["version"] + 1,
-                    "kind": "ddl",
-                    "registry": reg,
-                    "applied_ddl": st["applied_ddl"] + [ddl_id],
-                }
-            )
-            return
-        if kind == "rename_column":
+        elif kind == "rename_column":
             hit = [c for c in reg if c["target"] == p["from"]]
             if not hit:
                 raise KeyError(f"rename: no column {p['from']}")
@@ -232,68 +294,139 @@ class TargetTable:
                 raise ValueError(f"illegal widening {hit[0]['type']}→{p['to']}")
             hit[0]["type"] = p["to"]
         elif kind == "drop_column":
-            # data loss by design (reference CDCKudu.java:103-106): the
-            # compaction rewrite below omits the column from every file,
-            # so a later re-add of the same name starts from nulls
             hit = [c for c in reg if c["target"] == p["name"]]
             if not hit:
                 raise KeyError(f"drop: no column {p['name']}")
             reg.remove(hit[0])
-            self._compact_to(
-                spark, st, reg, extra_ddl=[ddl_id],
-                old_names=[c["target"] for c in reg],
-            )
-            return
         else:
             raise ValueError(f"unknown ddl_kind {kind}")
-        # rename/widen rewrite data files under the new registry
-        self._compact_to(spark, st, reg, extra_ddl=[ddl_id])
+        self._commit(
+            {
+                **st,
+                "version": st["version"] + 1,
+                "kind": "ddl",
+                "registry": reg,
+                "applied_ddl": st["applied_ddl"] + [ddl_id],
+            }
+        )
 
     # -- read (merge-on-read resolution) --------------------------------------
 
-    def _data_paths(self, st: dict) -> list[str]:
-        paths = []
-        if st["base_version"]:
-            paths.append(os.path.join(self.path, "base", f"v{st['base_version']:08d}"))
-        paths += [os.path.join(self.path, "delta", f"epoch={e:08d}") for e in st["delta_epochs"]]
+    def _base_dir(self, st: dict) -> str | None:
+        if not st["base_version"]:
+            return None
+        d = os.path.join(self.path, "base", f"v{st['base_version']:08d}")
+        return d if os.path.isdir(d) else None
+
+    def _delta_dirs(self, st: dict) -> list[str]:
+        paths = [
+            os.path.join(self.path, "delta", f"epoch={e:08d}") for e in st["delta_epochs"]
+        ]
         return [p for p in paths if os.path.isdir(p)]
 
-    def read_resolved(self, spark: SparkSession, state: dict | None = None) -> DataFrame:
-        """Current table contents: LWW-resolved, tombstones dropped.
+    def _data_paths(self, st: dict) -> list[str]:
+        base = self._base_dir(st)
+        return ([base] if base else []) + self._delta_dirs(st)
 
-        One hash aggregate (max_by over last_lsn) — map-side partial
-        aggregation keeps hot doc_ids from skewing the shuffle."""
-        st = state or self.state()
-        sch = self.schema(st["registry"])
-        paths = self._data_paths(st)
+    @staticmethod
+    def _base_partitioned(base_dir: str) -> bool:
+        return any(c.startswith("_bucket=") for c in os.listdir(base_dir))
+
+    def _bucket_col(self, st: dict) -> F.Column:
+        return F.pmod(F.xxhash64(F.col("doc_id")), F.lit(st.get("buckets", self.buckets))).cast("int")
+
+    def read_base(self, spark: SparkSession, st: dict, keep_bucket: bool = False) -> DataFrame | None:
+        base = self._base_dir(st)
+        if base is None:
+            return None
+        df = spark.read.schema(self.phys_schema(st["registry"])).parquet(base)
+        # the _bucket partition column auto-appends on partitioned layouts
+        if "_bucket" in df.columns and not keep_bucket:
+            df = df.drop("_bucket")
+        if keep_bucket and "_bucket" not in df.columns:
+            df = df.withColumn("_bucket", self._bucket_col(st))
+        return df
+
+    def read_deltas(self, spark: SparkSession, st: dict) -> DataFrame | None:
+        paths = self._delta_dirs(st)
         if not paths:
-            return spark.createDataFrame([], sch).drop("deleted")
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        # files written before an add_column lack that column entirely
-        for f in sch.fields:
-            if f.name not in df.columns:
-                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        df = df.select([F.col(f.name).cast(f.dataType) for f in sch.fields])
+            return None
+        return spark.read.schema(self.phys_schema(st["registry"])).parquet(*paths)
+
+    def _delta_bytes(self, st: dict) -> int:
+        total = 0
+        for d in self._delta_dirs(st):
+            for root, _dirs, files in os.walk(d):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    def _fast_resolve_ok(self, st: dict) -> bool:
+        """The broadcast fast path is sound iff the journal PROVES every
+        delta row's lsn exceeds every base row's lsn (then a delta winner
+        unconditionally supersedes its base row). Steady-state streaming
+        always satisfies this; a late epoch delivered below the
+        compaction watermark, or an epoch committed without stats,
+        falls back to the full aggregate."""
+        if not st["delta_epochs"]:
+            return True
+        if st["base_version"]:
+            base_max = st.get("base_max_lsn")
+            if base_max is None:
+                return False
+            stats = st.get("epoch_stats", {})
+            for e in st["delta_epochs"]:
+                s = stats.get(str(e))
+                if not s or s.get("min_lsn") is None or s["min_lsn"] <= base_max:
+                    return False
+        return self._delta_bytes(st) <= self.resolve_join_max_bytes
+
+    @staticmethod
+    def _lww(df: DataFrame) -> DataFrame:
+        """One hash aggregate (max_by over (last_lsn, deleted)) — map-side
+        partial aggregation keeps hot doc_ids from skewing the shuffle."""
         cols = [c for c in df.columns if c != "doc_id"]
-        resolved = (
+        return (
             df.groupBy("doc_id")
             .agg(F.max_by(F.struct(*cols), F.struct("last_lsn", "deleted")).alias("_r"))
             .select("doc_id", "_r.*")
         )
-        return resolved.filter(~F.col("deleted")).drop("deleted")
+
+    def _to_logical(self, df: DataFrame, registry: list[dict]) -> DataFrame:
+        """phys column names → logical target names (live rows only)."""
+        reg = norm_registry(registry)
+        sel = [F.col(n) for n, _ in BASE_FIELDS]
+        sel += [F.col(c["phys"]).alias(c["target"]) for c in reg]
+        sel.append(F.col("last_lsn"))
+        return df.filter(~F.col("deleted")).select(*sel)
+
+    def read_resolved(self, spark: SparkSession, state: dict | None = None) -> DataFrame:
+        """Current table contents: LWW-resolved, tombstones dropped.
+
+        Fast path (steady state, `_fast_resolve_ok`): the base — one row
+        per key by construction, it IS a resolved snapshot — streams
+        through a broadcast LeftAnti join against the delta winners' keys
+        with NO exchange; only the (small) delta set pays a shuffle for
+        its per-key max_by. This is the plan that survives 100 TB: the
+        full-table exchange of the naive groupBy never happens.
+        Fallback: one hash aggregate over base ∪ deltas."""
+        st = state or self.state()
+        base = self.read_base(spark, st)
+        deltas = self.read_deltas(spark, st)
+        if base is None and deltas is None:
+            return spark.createDataFrame([], self.schema(st["registry"])).drop("deleted")
+        if deltas is None:
+            resolved = base  # base is already one-row-per-key, tombstone-free
+        elif base is None:
+            resolved = self._lww(deltas)
+        elif self._fast_resolve_ok(st):
+            winners = self._lww(deltas)
+            kept = base.join(F.broadcast(winners.select("doc_id")), "doc_id", "left_anti")
+            resolved = kept.unionByName(winners)
+        else:
+            resolved = self._lww(base.unionByName(deltas))
+        return self._to_logical(resolved, st["registry"])
 
     # -- write ----------------------------------------------------------------
-
-    def _write_bucketed(self, df: DataFrame, outdir: str, pre_partitioned: bool = False) -> None:
-        """Repartition by doc_id hash (reference sink-side bucketing,
-        CDCKudu.java:226-228) so same-key rows co-locate across files.
-
-        `pre_partitioned=True` skips the exchange when the caller's plan
-        already hash-partitions by doc_id (the LWW dedupe aggregate does)
-        — one less shuffle per micro-batch."""
-        if not pre_partitioned:
-            df = df.repartition(self.buckets, F.col("doc_id"))
-        df.write.mode("overwrite").parquet(outdir)
 
     def commit_delta(
         self, df: DataFrame, epoch: int, stats: dict | None = None,
@@ -301,19 +434,26 @@ class TargetTable:
     ) -> dict | None:
         """Append one micro-batch's deduped apply-rows; idempotent per epoch.
 
-        df columns must match self.schema() (lsn already renamed last_lsn).
-        `stats` ({n_events, min_lsn, max_lsn} of the raw batch) is stored
-        for redelivery-vs-partial-delivery detection; a CALLABLE stats is
-        invoked after the data write but before the journal commit — the
-        hook for Observation-folded metrics (and their guards): a raise
-        there aborts the commit with only an unjournaled, overwrite-safe
-        delta dir left behind. Returns the journal entry, or None if the
-        epoch was already applied (exactly-once re-delivery guard)."""
+        df columns must match self.phys_schema() (lsn already renamed
+        last_lsn). `stats` ({n_events, min_lsn, max_lsn} of the raw batch)
+        is stored for redelivery-vs-partial-delivery detection — and it
+        feeds the resolve fast path's lsn-monotonicity proof; a CALLABLE
+        stats is invoked after the data write but before the journal
+        commit — the hook for Observation-folded metrics (and their
+        guards): a raise there aborts the commit with only an
+        unjournaled, overwrite-safe delta dir left behind.
+        `pre_partitioned=True` skips the write-side repartition when the
+        caller's plan already hash-partitions by doc_id (the LWW dedupe
+        aggregate does) — one less shuffle per micro-batch. Returns the
+        journal entry, or None if the epoch was already applied
+        (exactly-once re-delivery guard)."""
         st = self.state()
         if self.has_epoch(epoch, st):
             return None
         outdir = os.path.join(self.path, "delta", f"epoch={epoch:08d}")
-        self._write_bucketed(df, outdir, pre_partitioned=pre_partitioned)
+        if not pre_partitioned:
+            df = df.repartition(st.get("buckets", self.buckets), F.col("doc_id"))
+        df.write.mode("overwrite").parquet(outdir)
         if callable(stats):
             stats = stats()
         entry = self._commit(
@@ -335,47 +475,83 @@ class TargetTable:
             }
         )
         if len(entry["delta_epochs"]) >= self.compact_every:
-            spark = df.sparkSession
-            entry = self._compact_to(spark, entry, entry["registry"])
+            entry = self._compact_to(df.sparkSession, entry)
         return entry
 
     # -- compaction ------------------------------------------------------------
 
-    def _compact_to(
-        self,
-        spark: SparkSession,
-        st: dict,
-        new_registry: list[dict],
-        extra_ddl: list[str] | None = None,
-        old_names: list[str] | None = None,
-    ) -> dict:
-        """Rewrite base under new_registry; consume all deltas.
+    def _compact_to(self, spark: SparkSession, st: dict) -> dict:
+        """Consume all deltas into a new base version — DIRTY BUCKETS ONLY.
 
-        Resolution happens under the OLD registry names, then columns are
-        re-projected old-target → new-target. `old_names` (aligned with
-        new_registry) names the old column each new column reads from;
-        default is positional (registry order is stable across
-        rename/widen); a drop passes the surviving names explicitly."""
-        old_reg = st["registry"]
-        if old_names is None:
-            assert len(old_reg) == len(new_registry), "need old_names when dropping"
-            old_names = [c["target"] for c in old_reg]
-        resolved = self.read_resolved(spark, st)  # old names, tombstones gone
-        sel = [F.col(n).alias(n) for n, _ in BASE_FIELDS]
-        for old_name, new_c in zip(old_names, new_registry):
-            sel.append(F.col(old_name).cast(SPARK_TYPE[new_c["type"]]).alias(new_c["target"]))
-        sel.append(F.col("last_lsn"))
-        out = resolved.select(*sel).withColumn("deleted", F.lit(False))
+        The base is parquet-partitioned by `_bucket=pmod(xxhash64(doc_id),
+        buckets)`. Buckets with no delta rows are carried into the new
+        base version as hard links (a metadata op — the local-FS analogue
+        of Iceberg manifest reuse); only dirty buckets pay the
+        resolve-and-rewrite. The rewrite runs under the CURRENT registry's
+        phys schema, so stale phys columns (from drops) and narrow types
+        (from widens) are physically normalized away bucket-by-bucket as
+        buckets get dirty — never as a synchronous whole-table job.
+        A legacy (unpartitioned) base forces one full rewrite that adopts
+        the bucket layout and seeds `base_max_lsn`."""
+        deltas = self.read_deltas(spark, st)
+        base_dir = self._base_dir(st)
+        bucketed = base_dir is not None and self._base_partitioned(base_dir)
+        prev_max = st.get("base_max_lsn")
 
+        if deltas is None and bucketed and prev_max is not None:
+            return st  # nothing to consume, layout already current
+
+        buckets = st.get("buckets", self.buckets)
+        bcol = self._bucket_col(st)
+        dirty: list[int] | None = None  # None → all buckets
+        delta_max = None
+        if deltas is not None:
+            agg = deltas.groupBy(bcol.alias("_b")).agg(F.max("last_lsn").alias("m")).collect()
+            delta_max = max((r["m"] for r in agg), default=None)
+            if bucketed and prev_max is not None:
+                dirty = sorted(r["_b"] for r in agg)
+
+        base = self.read_base(spark, st, keep_bucket=True)
+        parts = []
+        if base is not None:
+            parts.append(base.filter(F.col("_bucket").isin(dirty)).drop("_bucket")
+                         if dirty is not None else base.drop("_bucket"))
+        if deltas is not None:
+            parts.append(deltas)
         new_base = st["version"] + 1
         outdir = os.path.join(self.path, "base", f"v{new_base:08d}")
-        self._write_bucketed(out, outdir)
+        if parts:
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
+            resolved = self._lww(merged).filter(~F.col("deleted"))
+            out = (
+                resolved.withColumn("deleted", F.lit(False))
+                .select(self.phys_schema(st["registry"]).fieldNames())
+                .withColumn("_bucket", bcol)
+            )
+            # ~1 write task per dirty bucket → bounded files per bucket
+            out.repartition(buckets, F.col("_bucket")).write.mode(
+                "overwrite"
+            ).partitionBy("_bucket").parquet(outdir)
+        else:
+            os.makedirs(outdir, exist_ok=True)
+        if dirty is not None and base_dir:
+            self._link_clean_buckets(base_dir, outdir, exclude=set(dirty))
+        new_max = max((v for v in (prev_max, delta_max) if v is not None), default=None)
+        if new_max is None and parts:
+            # no journal-known lsn bound (legacy base / statless epochs):
+            # one aggregate over the rewritten data seeds the invariant
+            row = self.read_base(spark, {**st, "base_version": new_base}) \
+                .agg(F.max("last_lsn").alias("m")).first()
+            new_max = row["m"]
+
         # fold the contiguous applied prefix into the watermark so the
         # epochs list + stats stay O(epochs-since-last-gap), not O(all);
         # the fold starts at epoch_floor, never below it (a feed starting
         # at epoch N>0 must not mark epochs < N applied)
         floor = st.get("epoch_floor")
-        w = st.get("epoch_watermark", -(10**18))
+        w = st.get("epoch_watermark", _NEG_INF)
         if floor is not None and w < floor:
             w = floor - 1
         sparse = sorted(set(st["epochs"]))
@@ -386,10 +562,9 @@ class TargetTable:
                 **st,
                 "version": new_base,
                 "kind": "compact",
-                "registry": new_registry,
                 "base_version": new_base,
                 "delta_epochs": [],
-                "applied_ddl": st["applied_ddl"] + (extra_ddl or []),
+                "base_max_lsn": new_max,
                 "epoch_watermark": w,
                 "epochs": sparse,
                 "epoch_stats": {
@@ -400,9 +575,29 @@ class TargetTable:
         self._gc(entry)
         return entry
 
+    @staticmethod
+    def _link_clean_buckets(old_dir: str, new_dir: str, exclude: set[int]) -> None:
+        """Carry clean buckets into the new base version as hard links
+        (fallback: copy). The subsequent GC of the old version only
+        unlinks names; the inodes stay live under the new version."""
+        for child in os.listdir(old_dir):
+            if not child.startswith("_bucket="):
+                continue
+            if int(child.split("=", 1)[1]) in exclude:
+                continue
+            src = os.path.join(old_dir, child)
+            dst = os.path.join(new_dir, child)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                if not os.path.isfile(os.path.join(src, f)):
+                    continue
+                try:
+                    os.link(os.path.join(src, f), os.path.join(dst, f))
+                except OSError:
+                    shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
+
     def compact(self, spark: SparkSession) -> dict:
-        st = self.state()
-        return self._compact_to(spark, st, st["registry"])
+        return self._compact_to(spark, self.state())
 
     def _gc(self, st: dict) -> None:
         """Drop data dirs no longer reachable from the latest commit."""
@@ -447,12 +642,20 @@ class TableRouter:
             out += "-" + hashlib.md5(name.encode()).hexdigest()[:8]
         return out
 
+    def path_of(self, name: str) -> str:
+        return os.path.join(self.root, "tables", self._safe(name))
+
+    def exists(self, name: str) -> bool:
+        """True iff the routed table already has an on-disk journal —
+        WITHOUT creating one (verification must not mutate its target)."""
+        return os.path.isdir(os.path.join(self.path_of(name), "_journal"))
+
     def get(self, name: str) -> TargetTable:
         """TargetTable for a routed table name (created on first touch —
         the reference's create-if-absent per table, CDCKudu.java:68-126)."""
         t = self._tables.get(name)
         if t is None:
-            path = os.path.join(self.root, "tables", self._safe(name))
+            path = self.path_of(name)
             t = TargetTable(path, compact_every=self.compact_every, buckets=self.buckets)
             t.create_if_absent()
             marker = os.path.join(path, "_table_name")

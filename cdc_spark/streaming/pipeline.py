@@ -47,23 +47,27 @@ def project_to_table(events: DataFrame, registry: list[dict]) -> DataFrame:
     """Apply-events → physical table columns under the current registry.
 
     Extra-column values ride in the event's string map under their
-    *source* key; the physical column uses the (possibly renamed) target
-    name and the (possibly widened) type. Unregistered keys are ignored.
-    Values are masked to events NEWER than the column's add-DDL lsn —
-    under the two-phase DDL barrier an epoch's earlier DML would
-    otherwise project pre-drop values into a re-added column."""
+    *source* key; the physical column uses the STABLE `phys` name (the
+    field-id analogue that makes rename/widen/drop metadata-only — see
+    sinks/target.py) at the (possibly widened) registry type.
+    Unregistered keys are ignored. Values are masked to events NEWER
+    than the column's add-DDL lsn — under the two-phase DDL barrier an
+    epoch's earlier DML would otherwise project pre-drop values into a
+    re-added column."""
+    from cdc_spark.sinks.target import norm_registry
+
     sel = [
         F.col("doc_id"),
         F.col("tokens"),
         F.col("n_tok"),
         F.col("source"),
     ]
-    for c in registry:
+    for c in norm_registry(registry):
         val = F.col("extra").getItem(c["source_key"]).cast(SPARK_TYPE[c["type"]])
         add_lsn = c.get("add_lsn", -1)
         if add_lsn > 0:
             val = F.when(F.col("lsn") > F.lit(add_lsn), val)
-        sel.append(val.alias(c["target"]))
+        sel.append(val.alias(c["phys"]))
     sel += [F.col("lsn").alias("last_lsn"), F.col("deleted")]
     return events.select(*sel)
 
