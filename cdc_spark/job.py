@@ -232,9 +232,16 @@ def main(argv: list[str] | None = None) -> int:
                 diffs, n_oracle, n_engine = [], 0, 0
                 for name, (state, reg) in sorted(by_table.items()):
                     expected = {r["doc_id"]: r for r in oracle.final_rows(state, reg)}
+                    n_oracle += len(expected)
+                    if not router.exists(name):
+                        # a table the oracle expects but the engine never
+                        # routed is a DIFF — touching router.get() here
+                        # would create its journal inside the very tree
+                        # being verified
+                        diffs += [f"{name}/{k}" for k in expected]
+                        continue
                     actual = {r["doc_id"]: r.asDict()
                               for r in router.get(name).read_resolved(spark).collect()}
-                    n_oracle += len(expected)
                     n_engine += len(actual)
                     diffs += _diff(expected, actual, prefix=f"{name}/")
                 print(json.dumps({"tables": sorted(by_table),

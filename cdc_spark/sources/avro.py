@@ -32,6 +32,7 @@ import json
 import struct
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from cdc_spark.schema import CHANGE_SCHEMA
 
@@ -355,6 +356,7 @@ def decode_avro_changes(
     raw: DataFrame,
     writer_schemas: list | None = None,
     impl: str = "auto",
+    framed: bool | None = None,
 ) -> DataFrame:
     """Kafka-shaped (value: binary) → CHANGE_SCHEMA rows.
 
@@ -363,11 +365,31 @@ def decode_avro_changes(
     fixed-schema topic). impl="python": Arrow-batched mapInPandas
     kernel decoding single-object frames against the fingerprint cache
     (handles mid-stream writer-schema versions). impl="auto" uses jvm
-    when the Avro data source is loadable, else python."""
+    when the Avro data source is loadable AND the values are unframed.
+
+    `framed` declares whether values carry the single-object C3 01 +
+    fingerprint prefix. Framing decides correctness, not just speed:
+    `from_avro` on a framed value would decode the marker bytes as data
+    — Avro scalar decoding rarely fails structurally, so a framed topic
+    through the jvm path yields garbage rows, not an error. When left
+    None, auto-probes the first value on batch input; streaming input
+    assumes framed=True (the engine's own wire format — and the python
+    decoder fails LOUDLY on unframed bytes, the safe direction)."""
     schemas = writer_schemas or [CHANGE_AVRO_SCHEMA]
+    if framed is None and (impl in ("auto", "jvm")) and not raw.isStreaming:
+        row = raw.select("value").filter(F.col("value").isNotNull()).first()
+        framed = row is None or bytes(row["value"])[:2] == _SO_MAGIC
+    if framed is None:
+        framed = True  # streaming, unprobed: assume the engine's wire
     if impl == "auto":
-        impl = "jvm" if _jvm_avro_available(raw.sparkSession) else "python"
+        impl = "jvm" if (not framed and _jvm_avro_available(raw.sparkSession)) else "python"
     if impl == "jvm":
+        if framed:
+            raise ValueError(
+                "values carry the Avro single-object C3 01 framing; "
+                "from_avro would silently mis-decode them — use "
+                "impl='python' (or framed=False for a truly unframed topic)"
+            )
         from pyspark.sql.avro.functions import from_avro
 
         parsed = raw.select(
@@ -451,10 +473,14 @@ def kafka_avro_reader(
     writer_schemas: list | None = None,
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int | None = None,
+    framed: bool = True,
 ) -> DataFrame:
     """readStream over a Kafka topic of Avro-encoded change events —
     `sources.kafka.kafka_reader` with Avro value decoding (reference
-    GoldenGateKafka.java:112-240)."""
+    GoldenGateKafka.java:112-240). `framed=True` (default — the
+    engine's own wire format) pins the python/fingerprint decode path;
+    pass framed=False only for a topic of raw un-prefixed Avro bodies,
+    which makes the jvm from_avro path eligible."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -463,4 +489,4 @@ def kafka_avro_reader(
     )
     if max_offsets_per_trigger:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    return decode_avro_changes(reader.load(), writer_schemas)
+    return decode_avro_changes(reader.load(), writer_schemas, framed=framed)

@@ -42,6 +42,10 @@ __all__ = [
     "read_changes",
 ]
 
+#: driver-side collect cap for the per-epoch DDL/unknown-op probe — DDL
+#: volume is tiny by design; a feed above this is hostile or corrupt
+_DDL_PROBE_MAX = 10_000
+
 
 def project_to_table(events: DataFrame, registry: list[dict]) -> DataFrame:
     """Apply-events → physical table columns under the current registry.
@@ -254,11 +258,24 @@ def _apply_batch_observed(
     # so the strict guard fires BEFORE any DDL mutates the table — on the
     # lineage path a refused batch leaves the table untouched, and the
     # fast path must match (a drop_column would otherwise have already
-    # compacted the column away for a batch the engine claims it refused)
-    probe = batch.filter(
-        F.col("op_type").isNull()
-        | ~F.col("op_type").isin("I", "U", "D", "H")
-    ).select("lsn", "op_type", "ddl_kind", "ddl_payload").collect()
+    # compacted the column away for a batch the engine claims it refused).
+    # The collect is bounded: DDL volume is tiny by design, so a feed
+    # exceeding the cap is hostile/corrupt and must not OOM the driver.
+    probe = (
+        batch.filter(
+            F.col("op_type").isNull()
+            | ~F.col("op_type").isin("I", "U", "D", "H")
+        )
+        .select("lsn", "op_type", "ddl_kind", "ddl_payload")
+        .limit(_DDL_PROBE_MAX + 1)
+        .collect()
+    )
+    if len(probe) > _DDL_PROBE_MAX:
+        raise ValueError(
+            f"epoch {epoch}: more than {_DDL_PROBE_MAX} DDL/unknown-op "
+            "events in one epoch; refusing to collect a pathological feed "
+            "driver-side"
+        )
     n_unknown_probe = sum(1 for r in probe if r["op_type"] != "DDL")
     if n_unknown_probe:
         raise ValueError(
@@ -301,6 +318,13 @@ def _apply_batch_observed(
         m = obs.get  # available once the write action finished
         metrics.update(m)
         if m["n_unknown"]:
+            # NOT redundant with the pre-write probe: the probe and the
+            # write job are two separate scans of the batch. For
+            # immutable file segments they agree by construction, but a
+            # source without snapshot-stable rescans (e.g. a JDBC outbox
+            # polled without an upper-bound predicate) can present rows
+            # to the write job the probe never saw — this is the last
+            # guard before the journal commit makes them permanent.
             raise ValueError(
                 f"epoch {epoch}: {m['n_unknown']} events with unknown op_type "
                 "(not I/U/D/DDL/H); refusing to commit the batch"
@@ -598,6 +622,19 @@ def _epoch_gate(spark, bdf, binlog_dir, staging_root, is_applied):
         n_expected = expected_n.get(e, 0)
         incomplete = bool(have) and len(have) < n_expected
         if not applied and (blocked or incomplete):
+            if not new_files and e in per_epoch:
+                # rows WITHOUT file provenance (non-file source, or lost
+                # behind a mapInPandas decode) cannot be parked: the
+                # source won't redeliver them, so staging-skipping this
+                # epoch would drop its rows permanently. Unreachable
+                # with homogeneous wires (provenance-free feeds never
+                # set `blocked`), but a mixed feed must fail loudly
+                # rather than lose data.
+                raise RuntimeError(
+                    f"epoch {e}: rows carry no file provenance but an "
+                    "earlier epoch is staged-incomplete; provenance-free "
+                    "epochs cannot be parked safely"
+                )
             if new_files:  # nothing new to park for staged-only epochs
                 cur.withColumn("_src_file", F.input_file_name()).write.mode(
                     "append"

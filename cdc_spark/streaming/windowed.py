@@ -34,22 +34,25 @@ def windowed_event_stats(
 ) -> DataFrame:
     """Tumbling event-time windows × key → count (+ rounded value sum).
 
-    Works unchanged on batch and streaming inputs (Spark's TimeWindow
-    buckets by the instant's microseconds-since-epoch, so results are
-    session-timezone-independent)."""
+    Works unchanged on batch and streaming inputs, and the emitted
+    window_start_s is session-timezone-independent for BOTH timestamp
+    flavors: TIMESTAMP (LTZ) stores an instant, so unix_micros reads it
+    directly; TIMESTAMP_NTZ is a naive value interpreted as UTC via
+    field arithmetic (a direct cast is illegal for NTZ and
+    unix_timestamp() would re-interpret it in the session timezone)."""
     w = F.window(ts_col, window)
     aggs: list[Column] = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
         aggs.append(F.round(F.sum(value_col), 3).alias("sum_value"))
-    # epoch seconds from the NTZ fields arithmetically — a direct cast is
-    # illegal for TIMESTAMP_NTZ and unix_timestamp() would re-interpret
-    # the naive value in the session timezone
-    start_s = (
-        F.unix_date(F.to_date("w.start")) * F.lit(86400)
-        + F.hour("w.start") * F.lit(3600)
-        + F.minute("w.start") * F.lit(60)
-        + F.second("w.start")
-    ).cast("long")
+    if df.schema[ts_col].dataType.typeName() == "timestamp_ntz":
+        start_s = (
+            F.unix_date(F.to_date("w.start")) * F.lit(86400)
+            + F.hour("w.start") * F.lit(3600)
+            + F.minute("w.start") * F.lit(60)
+            + F.second("w.start")
+        ).cast("long")
+    else:
+        start_s = (F.unix_micros(F.col("w.start")) / F.lit(1_000_000)).cast("long")
     return (
         df.groupBy(w.alias("w"), F.col(key_col))
         .agg(*aggs)
