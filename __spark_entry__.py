@@ -384,8 +384,10 @@ def _q_emb_near_dup_exact(spark, sf):
     e = _load(spark, sf, "embeddings").select("vec_id", "embedding")
     # exact twin of emb_near_dup_lsh: O(n²) compute is inherent to exact
     # all-pairs, but grid blocking turns it into B(B+1)/2 evenly-sized
-    # equi-join tasks — no CartesianProduct node anywhere in the contract
-    return exact_pairs_blocked(e, threshold=0.4, n_blocks=16)
+    # equi-join tasks — no CartesianProduct node anywhere in the contract.
+    # n_blocks derives from the row count (bounded pair-dots per task at
+    # any sf; blocking never changes the result set)
+    return exact_pairs_blocked(e, threshold=0.4)
 
 
 def _q_emb_near_dup_lsh(spark, sf):

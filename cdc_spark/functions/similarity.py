@@ -336,8 +336,9 @@ def exact_pairs_blocked(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
     round_to: int = 4,
+    rows_per_block: int = 4_000,
 ) -> DataFrame:
     """EXACT all-pairs cosine ≥ threshold with no CartesianProduct node:
     grid ("theta-join") blocking. Rows hash into `n_blocks` blocks by id;
@@ -347,10 +348,17 @@ def exact_pairs_blocked(
 
     Scale shape: total comparisons are still O(n²) — inherent to exact
     all-pairs — but the plan is B(B+1)/2 evenly-sized shuffle partitions
-    instead of one driver-fed cartesian; raise n_blocks with data volume
-    (each side shuffles ~(B+1)/2 replicas). The approximate version of
-    this operator is `all_pairs_above` (LSH blocking, no n²)."""
+    instead of one driver-fed cartesian. `n_blocks=None` (default)
+    derives B from the row count so each block holds ~`rows_per_block`
+    rows (a bounded ~rows_per_block² pair-dots per task) at ANY input
+    size — a static B would under-block at larger sf, ballooning the
+    per-task pair count. Blocking never changes the result, only the
+    task shape. The approximate version of this operator is
+    `all_pairs_above` (LSH blocking, no n²)."""
     spark = df.sparkSession
+    if n_blocks is None:
+        n = df.select(id_col).count()  # pruned single-column scan
+        n_blocks = int(min(1024, max(4, -(-n // rows_per_block))))
     bp = spark.createDataFrame(
         [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi int, bj int",

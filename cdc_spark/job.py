@@ -53,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
         r = sub.add_parser(name, help=f"{name} driver: binlog → target table")
         r.add_argument("--binlog", required=True)
         r.add_argument("--table", required=True)
-        r.add_argument("--dedupe", default="agg", choices=["agg", "window", "salted"])
+        r.add_argument("--dedupe", default="agg", choices=["agg", "window", "salted", "auto"])
         r.add_argument("--normalize", default="expr", choices=["expr", "arrow"])
         r.add_argument("--compact-every", type=int, default=16)
         r.add_argument("--wire", default="parquet", choices=["parquet", "avro"],
@@ -95,7 +95,7 @@ def main(argv: list[str] | None = None) -> int:
     jr.add_argument("--outbox", default="changes", help="outbox table name")
     jr.add_argument("--driver", default=None, help="JDBC driver class")
     jr.add_argument("--num-partitions", type=int, default=4)
-    jr.add_argument("--dedupe", default="agg", choices=["agg", "window", "salted"])
+    jr.add_argument("--dedupe", default="agg", choices=["agg", "window", "salted", "auto"])
     _add_common(jr)
 
     ae = sub.add_parser(

@@ -85,12 +85,14 @@ def _delete_struct(doc_id: Column) -> Column:
     )
 
 
-def normalize(changes: DataFrame, impl: str = "expr") -> DataFrame:
+def normalize(changes: DataFrame, impl: str = "expr", keep: tuple = ()) -> DataFrame:
     """Raw change feed (CHANGE_SCHEMA) → apply-events (APPLY_SCHEMA).
 
     DDL rows are dropped (the pipeline collects them separately on the
     driver — they are rare and tiny; reference forces DDL-before-DML by
     sorting, CTSQLServer.java:108-114, we do a two-phase apply instead).
+    `keep` names top-level input columns to carry through unchanged
+    (the multi-table router keeps `table` for routing).
     """
     dml = changes.filter(F.col("op_type").isin("I", "U", "D"))
     if impl == "arrow":
@@ -119,4 +121,6 @@ def normalize(changes: DataFrame, impl: str = "expr") -> DataFrame:
         .when(pk_changed, F.array(_delete_struct(F.col("before.doc_id")), upsert))
         .otherwise(F.array(upsert))
     )
-    return dml.select(F.explode(events).alias("e")).select("e.*")
+    return dml.select(*[F.col(k) for k in keep], F.explode(events).alias("e")).select(
+        *keep, "e.*"
+    )

@@ -61,7 +61,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from cdc_spark.schema import SPARK_TYPE, WIDENINGS
+from cdc_spark.schema import APPLY_SCHEMA, SPARK_TYPE, WIDENINGS
 
 BASE_FIELDS = [
     ("doc_id", T.StringType()),
@@ -78,6 +78,34 @@ def norm_registry(reg: list[dict]) -> list[dict]:
     (pre-round-3 tables rewrote data on rename, so their physical column
     name always equalled the logical target name)."""
     return [{**c, "phys": c.get("phys", c["target"])} for c in reg]
+
+
+def project_to_table(events: DataFrame, registry: list[dict]) -> DataFrame:
+    """Apply-events (APPLY_SCHEMA) → physical table columns under the
+    given registry.
+
+    Extra-column values ride in the event's string map under their
+    *source* key; the physical column uses the STABLE `phys` name at the
+    (possibly widened) registry type. Unregistered keys are ignored.
+    Values are masked to events NEWER than the column's add-DDL lsn.
+    That mask makes the projection TIME-INVARIANT: projecting the same
+    events under any later registry yields the same values for the
+    columns that registry names — which is what lets ref-deltas (stored
+    as raw apply-events) defer projection to read/compaction time."""
+    sel = [
+        F.col("doc_id"),
+        F.col("tokens"),
+        F.col("n_tok"),
+        F.col("source"),
+    ]
+    for c in norm_registry(registry):
+        val = F.col("extra").getItem(c["source_key"]).cast(SPARK_TYPE[c["type"]])
+        add_lsn = c.get("add_lsn", -1)
+        if add_lsn > 0:
+            val = F.when(F.col("lsn") > F.lit(add_lsn), val)
+        sel.append(val.alias(c["phys"]))
+    sel += [F.col("lsn").alias("last_lsn"), F.col("deleted")]
+    return events.select(*sel)
 
 
 class TargetTable:
@@ -111,6 +139,7 @@ class TargetTable:
                     "registry": [],
                     "base_version": 0,
                     "delta_epochs": [],
+                    "delta_refs": {},
                     "applied_ddl": [],
                     # applied epochs = [epoch_floor, epoch_watermark] plus
                     # the sparse `epochs` list; stats kept only for the
@@ -320,9 +349,14 @@ class TargetTable:
 
     def _delta_dirs(self, st: dict) -> list[str]:
         paths = [
-            os.path.join(self.path, "delta", f"epoch={e:08d}") for e in st["delta_epochs"]
+            os.path.join(self.path, "delta", f"epoch={e:08d}")
+            for e in st["delta_epochs"]
+            if str(e) not in st.get("delta_refs", {})
         ]
         return [p for p in paths if os.path.isdir(p)]
+
+    def _ref_dirs(self, st: dict) -> list[str]:
+        return [p for p in st.get("delta_refs", {}).values() if os.path.isdir(p)]
 
     def _data_paths(self, st: dict) -> list[str]:
         base = self._base_dir(st)
@@ -348,14 +382,34 @@ class TargetTable:
         return df
 
     def read_deltas(self, spark: SparkSession, st: dict) -> DataFrame | None:
+        """All uncompacted delta rows in PHYS-column form.
+
+        Two storage kinds union here: owned delta dirs (phys columns,
+        written by commit_delta) and REF deltas (raw apply-events in a
+        shared multi-table staging dir, committed journal-only by
+        commit_delta_ref) — the latter are projected to phys columns on
+        read, which project_to_table's add-lsn masking makes equivalent
+        to having projected them at commit time."""
+        parts = []
         paths = self._delta_dirs(st)
-        if not paths:
+        if paths:
+            parts.append(
+                spark.read.schema(self.phys_schema(st["registry"])).parquet(*paths)
+            )
+        refs = self._ref_dirs(st)
+        if refs:
+            events = spark.read.schema(APPLY_SCHEMA).parquet(*refs)
+            parts.append(project_to_table(events, st["registry"]))
+        if not parts:
             return None
-        return spark.read.schema(self.phys_schema(st["registry"])).parquet(*paths)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _delta_bytes(self, st: dict) -> int:
         total = 0
-        for d in self._delta_dirs(st):
+        for d in self._delta_dirs(st) + self._ref_dirs(st):
             for root, _dirs, files in os.walk(d):
                 total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
         return total
@@ -478,6 +532,42 @@ class TargetTable:
             entry = self._compact_to(df.sparkSession, entry)
         return entry
 
+    def commit_delta_ref(
+        self, spark: SparkSession, epoch: int, ref_path: str, stats: dict | None = None,
+    ) -> dict | None:
+        """Commit one epoch by REFERENCE to an already-written directory
+        of raw apply-events (APPLY_SCHEMA parquet) — a journal-only
+        commit that runs ZERO Spark jobs.
+
+        This is how the multi-table router gets jobs-per-epoch
+        independent of table count: one staged write holds every table's
+        winners partitioned by table, and each table's journal points at
+        its own partition slice. The referenced dir must be immutable
+        until compaction consumes it (the router's sweep deletes a
+        staged epoch only once no table references it)."""
+        st = self.state()
+        if self.has_epoch(epoch, st):
+            return None
+        entry = self._commit(
+            {
+                **st,
+                "version": st["version"] + 1,
+                "kind": "delta",
+                "delta_epochs": st["delta_epochs"] + [epoch],
+                "delta_refs": {**st.get("delta_refs", {}), str(epoch): ref_path},
+                "epoch_floor": (lambda f: epoch if f is None else min(f, epoch))(
+                    self.applied_epochs(st)[0]
+                ),
+                "epochs": sorted(set(st["epochs"]) | {epoch}),
+                "epochs_applied": st.get("epochs_applied", 0) + 1,
+                "epoch_stats": {**st.get("epoch_stats", {}),
+                                **({str(epoch): stats} if stats else {})},
+            }
+        )
+        if len(entry["delta_epochs"]) >= self.compact_every:
+            entry = self._compact_to(spark, entry)
+        return entry
+
     # -- compaction ------------------------------------------------------------
 
     def _compact_to(self, spark: SparkSession, st: dict) -> dict:
@@ -564,6 +654,7 @@ class TargetTable:
                 "kind": "compact",
                 "base_version": new_base,
                 "delta_epochs": [],
+                "delta_refs": {},
                 "base_max_lsn": new_max,
                 "epoch_watermark": w,
                 "epochs": sparse,

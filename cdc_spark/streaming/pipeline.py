@@ -33,8 +33,7 @@ from pyspark.sql import functions as F
 
 from cdc_spark.operators.dedupe import lww_dedupe
 from cdc_spark.operators.normalize import normalize
-from cdc_spark.schema import SPARK_TYPE
-from cdc_spark.sinks.target import TableRouter, TargetTable
+from cdc_spark.sinks.target import TableRouter, TargetTable, project_to_table
 from cdc_spark.sources.binlog import list_segments, read_changes, stream_reader
 
 __all__ = [
@@ -47,33 +46,8 @@ __all__ = [
 _DDL_PROBE_MAX = 10_000
 
 
-def project_to_table(events: DataFrame, registry: list[dict]) -> DataFrame:
-    """Apply-events → physical table columns under the current registry.
-
-    Extra-column values ride in the event's string map under their
-    *source* key; the physical column uses the STABLE `phys` name (the
-    field-id analogue that makes rename/widen/drop metadata-only — see
-    sinks/target.py) at the (possibly widened) registry type.
-    Unregistered keys are ignored. Values are masked to events NEWER
-    than the column's add-DDL lsn — under the two-phase DDL barrier an
-    epoch's earlier DML would otherwise project pre-drop values into a
-    re-added column."""
-    from cdc_spark.sinks.target import norm_registry
-
-    sel = [
-        F.col("doc_id"),
-        F.col("tokens"),
-        F.col("n_tok"),
-        F.col("source"),
-    ]
-    for c in norm_registry(registry):
-        val = F.col("extra").getItem(c["source_key"]).cast(SPARK_TYPE[c["type"]])
-        add_lsn = c.get("add_lsn", -1)
-        if add_lsn > 0:
-            val = F.when(F.col("lsn") > F.lit(add_lsn), val)
-        sel.append(val.alias(c["phys"]))
-    sel += [F.col("lsn").alias("last_lsn"), F.col("deleted")]
-    return events.select(*sel)
+# NB: project_to_table moved to sinks/target.py (ref-deltas project at
+# read time); imported above and re-exported for former callers.
 
 
 def lineage_stats(raw: DataFrame) -> DataFrame:
@@ -361,8 +335,16 @@ def apply_batch_multi(
     Two-phase like apply_batch: ALL DDL (any table) applies before any
     DML commit, each idempotent by (epoch, lsn). Per-table epoch commits
     are independently idempotent — a crash between two tables' commits
-    resumes with the committed table no-op'ing. Returns {applied_tables,
-    skipped_tables, n_events, n_ddl, seconds}."""
+    resumes with the committed table no-op'ing.
+
+    SINGLE-PASS routing (round 3): the feed is scanned a CONSTANT number
+    of times regardless of table count. One job normalizes + LWW-dedupes
+    the whole epoch keyed by (table, doc_id) and stages the winners
+    partitioned by table; each table then commits a journal-only
+    REFERENCE to its partition slice (TargetTable.commit_delta_ref —
+    zero Spark jobs). The old shape filtered and re-scanned the feed
+    once per table: fine at 2 tables, linear-cost at 100. Returns
+    {applied_tables, skipped_tables, n_events, n_ddl, seconds}."""
     t0 = time.monotonic()
 
     # -- phase 0: one pruned pass → per-table stats (which tables, how
@@ -411,13 +393,21 @@ def apply_batch_multi(
             spark, r["ddl_kind"], r["ddl_payload"], ddl_id=f"{epoch}:{r['lsn']}"
         )
 
-    # -- phase 2: per-table normalize → dedupe → project → commit, run
-    # from driver threads so the per-table Spark jobs overlap (each
-    # table's journal/data tree is independent; the reference loops its
-    # per-table RDDs sequentially, CTInputDStream.java:65-99) -------------
+    # -- phase 2: ONE pass stages the whole epoch's LWW winners
+    # partitioned by table; per-table commits are then journal-only
+    # references to their slice (no Spark jobs, no per-table feed scan) --
     applied, skipped = [], []
-
-    def _apply_one(name: str) -> bool:
+    names = sorted(per_table)
+    need_stage = [n for n in names if not router.get(n).has_epoch(epoch)]
+    stage_dir = os.path.join(router.root, "_mt_stage", f"epoch={epoch:08d}")
+    slices: dict[str, str] = {}
+    if need_stage:
+        _stage_epoch_winners(
+            spark, batch, stage_dir,
+            dedupe_mode=dedupe_mode, normalize_impl=normalize_impl,
+        )
+        slices = _stage_slices(stage_dir)
+    for name in names:
         table = router.get(name)
         if table.has_epoch(epoch):
             recorded = table.epoch_stats(epoch)
@@ -427,26 +417,20 @@ def apply_batch_multi(
                     f"different contents (committed {recorded}, got "
                     f"{per_table[name]})"
                 )
-            return False
-        sub = batch.filter(F.col("table") == name)
-        events = normalize(sub, impl=normalize_impl)
-        deduped = lww_dedupe(events, key="doc_id", order="lsn", mode=dedupe_mode)
-        delta = project_to_table(deduped, table.state()["registry"])
-        table.commit_delta(delta, epoch, stats=per_table[name], pre_partitioned=True)
-        return True
-
-    names = sorted(per_table)
-    for name in names:
-        router.get(name)  # create journals serially before the pool
-    if len(names) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=min(4, len(names))) as pool:
-            results = list(pool.map(_apply_one, names))
-    else:
-        results = [_apply_one(n) for n in names]
-    for name, did in zip(names, results):
-        (applied if did else skipped).append(name)
+            skipped.append(name)
+            continue
+        # a table with DML may still have an empty winner slice only if
+        # every event was a heartbeat; commit with no ref then
+        ref = slices.get(name)
+        if ref is not None:
+            table.commit_delta_ref(spark, epoch, ref, stats=per_table[name])
+        else:
+            table.commit_delta(
+                spark.createDataFrame([], table.phys_schema()), epoch,
+                stats=per_table[name],
+            )
+        applied.append(name)
+    _sweep_stage(router, os.path.join(router.root, "_mt_stage"))
 
     dt = time.monotonic() - t0
     if lineage:
@@ -474,6 +458,68 @@ def apply_batch_multi(
         "n_events": n_events, "n_ddl": len(ddl_rows), "epoch": epoch,
         "seconds": dt,
     }
+
+
+def _stage_epoch_winners(
+    spark: SparkSession,
+    batch: DataFrame,
+    stage_dir: str,
+    dedupe_mode: str = "agg",
+    normalize_impl: str = "expr",
+) -> None:
+    """ONE job: normalize the whole epoch, LWW-dedupe keyed by
+    (table, doc_id), write the winners partitioned by table.
+
+    Written to a temp sibling + atomic rename: tables that already
+    committed a reference to this epoch's slices must never observe a
+    partial rewrite, so an existing stage dir is REUSED (its content is
+    a deterministic function of the feed, and a redelivery with
+    different contents is caught by the per-table epoch-stats check)."""
+    if os.path.isdir(stage_dir):
+        return
+    import shutil as _shutil
+
+    tmp = stage_dir + ".inprogress"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    events = normalize(batch, impl=normalize_impl, keep=("table",))
+    # auto (hot-key salting) is single-key; the composite (table, doc_id)
+    # key takes the agg formulation, which is already skew-proof via
+    # map-side partial aggregation — all modes are result-identical
+    mode = "agg" if dedupe_mode == "auto" else dedupe_mode
+    winners = lww_dedupe(events, key=["table", "doc_id"], order="lsn", mode=mode)
+    winners.write.mode("overwrite").partitionBy("table").parquet(tmp)
+    os.makedirs(os.path.dirname(stage_dir), exist_ok=True)
+    os.rename(tmp, stage_dir)
+
+
+def _stage_slices(stage_dir: str) -> dict[str, str]:
+    """Raw table name → its `table=` partition dir (Spark escapes
+    partition values Hive-style %xx; unquote restores the raw name)."""
+    from urllib.parse import unquote
+
+    out = {}
+    for child in os.listdir(stage_dir):
+        if child.startswith("table="):
+            out[unquote(child[len("table="):])] = os.path.join(stage_dir, child)
+    return out
+
+
+def _sweep_stage(router: TableRouter, stage_root: str) -> None:
+    """Delete staged epochs no table references anymore (every table
+    either compacted them away or never claimed a slice)."""
+    if not os.path.isdir(stage_root):
+        return
+    import shutil as _shutil
+
+    live = set()
+    for name in router.names():
+        st = router.get(name).state()
+        for p in st.get("delta_refs", {}).values():
+            live.add(os.path.abspath(os.path.dirname(p)))
+    for child in os.listdir(stage_root):
+        p = os.path.abspath(os.path.join(stage_root, child))
+        if child.startswith("epoch=") and p not in live:
+            _shutil.rmtree(p, ignore_errors=True)
 
 
 def replay_multi(

@@ -136,3 +136,49 @@ def test_multi_stream_blocks_later_epoch_behind_incomplete_one(spark, workdir, m
         sh.copy(p, feed)
     router = stream(spark, feed, root, checkpoint_dir=ckpt, multi=True)
     _assert_router_matches_oracle(spark, router, full, mt_cfg.tables)
+
+
+def _jobs_during(spark, fn):
+    """Spark jobs launched by fn(), via the sequential job-id counter
+    (probe jobs bracket the run; their own 2 jobs are subtracted)."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def probe() -> int:
+        sc.setJobGroup("job_probe", "job_probe")
+        spark.range(1).count()
+        ids = tracker.getJobIdsForGroup("job_probe")
+        sc.setJobGroup(None, None)
+        return max(ids)
+
+    before = probe()
+    fn()
+    after = probe()
+    return after - before - 1
+
+
+def test_jobs_per_epoch_independent_of_table_count(spark, workdir):
+    """Round-3 single-pass routing pin: applying one epoch runs the SAME
+    number of Spark jobs for 2 routed tables as for 8 — the feed is
+    never re-scanned per table (per-table commits are journal-only
+    references into one staged write)."""
+    from cdc_spark.sources.binlog import list_segments, read_changes
+    from cdc_spark.streaming.pipeline import apply_batch_multi
+
+    counts = {}
+    for n_tables in (2, 8):
+        tables = tuple(f"t{i}.x" for i in range(n_tables))
+        d = f"{workdir}/binlog_jobs_{n_tables}"
+        write_binlog(
+            GenConfig(n_events=2000, n_docs=200, events_per_epoch=2000,
+                      seed=23, tables=tables, ddl_schedule=()),
+            d,
+        )
+        router = TableRouter(f"{workdir}/jobs_root_{n_tables}")
+        batch = read_changes(spark, list_segments(d)[0])
+        counts[n_tables] = _jobs_during(
+            spark,
+            lambda: apply_batch_multi(spark, router, batch, 0, lineage=False),
+        )
+        assert len(router.names()) == n_tables
+    assert counts[2] == counts[8], counts

@@ -66,3 +66,23 @@ def test_lsh_candidates_subset_ranked_exactly(vecs, query):
     assert rows[0]["vec_id"] == 0  # query vector always survives its own buckets
     sims = [r["cos_sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_exact_pairs_blocked_dynamic_blocks_invariant(spark):
+    """Round-3: n_blocks derives from the row count; the result set is
+    invariant to the blocking (exactness pin at two different B)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cdc_spark.functions.similarity import exact_pairs_blocked
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    auto = exact_pairs_blocked(df, threshold=0.5)  # derives B
+    fixed = exact_pairs_blocked(df, threshold=0.5, n_blocks=7)
+    key = lambda r: (r["id_a"], r["id_b"], r["cos_sim"])  # noqa: E731
+    assert sorted(map(key, auto.collect())) == sorted(map(key, fixed.collect()))
+    # and the derived plan still has no cartesian/sort-merge
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
