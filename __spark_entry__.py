@@ -555,14 +555,29 @@ def _q_multi_table_replay(spark, sf):
         )
         write_binlog(cfg, f"{work}/binlog")
         router = replay_multi(spark, f"{work}/binlog", f"{work}/root", lineage=False)
+        # per-table oracle digest literals: the row itself carries the
+        # comparison, so a drifted engine mismatches visibly even under
+        # the driver's rows-only check
+        from cdc_spark import oracle as _oracle
+
+        by_table = _oracle.replay_tables(f"{work}/binlog/segment-*.parquet")
         per = []
         for name in tables:
+            state, _reg = by_table.get(name, ({}, None))
+            o_n = len(state)
+            o_max = max((r["last_lsn"] for r in state.values()), default=None)
+            o_sum = sum(r["n_tok"] for r in state.values() if r["n_tok"] is not None)
             per.append(
                 router.get(name).read_resolved(spark).agg(
                     F.count(F.lit(1)).alias("n_rows"),
                     F.max("last_lsn").alias("max_lsn"),
                     F.sum("n_tok").alias("sum_n_tok"),
-                ).withColumn("table", F.lit(name))
+                ).withColumn("table", F.lit(name)).withColumn(
+                    "matches_oracle",
+                    (F.col("n_rows") == F.lit(o_n))
+                    & (F.col("max_lsn") == F.lit(o_max))
+                    & (F.col("sum_n_tok") == F.lit(o_sum)),
+                )
             )
         out = per[0].unionByName(per[1])
         return out.localCheckpoint(eager=True)
@@ -570,12 +585,137 @@ def _q_multi_table_replay(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _q_replay_final(spark, sf):
-    df = _replay_flagship(spark, sf, n_events=10_000)
+def _digest_columns(out: DataFrame, oracle_rows: list[dict]) -> DataFrame:
+    """Append self-verifying digest columns to an engine-drive result:
+    the single-threaded oracle applier's digest (row count + summed
+    per-row md5 prefix) is computed in-process and compared against the
+    SAME digest computed by Spark over the result — a drifted engine
+    mismatches visibly in the returned rows (`matches_oracle=false`),
+    upgrading the driver's rows-only check to a real equivalence pin."""
+    import hashlib
+
+    # per-row hash reduced mod 10^12 so the int64 sum cannot overflow
+    # under ANSI mode before ~10^6 rows-per-partition × 10^12
+    def py_h(r: dict) -> int:
+        parts = [str(r[c]) for c in ("doc_id", "tokens_sum", "n_tok", "source", "last_lsn")
+                 if r[c] is not None]
+        return int(hashlib.md5("|".join(parts).encode()).hexdigest()[:15], 16) % 10**12
+
+    o_n = len(oracle_rows)
+    o_sum = sum(py_h(r) for r in oracle_rows)
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "doc_id", "tokens_sum", "n_tok", "source", "last_lsn")),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(10**12),
+    )
+    got = out.agg(F.count(F.lit(1)).alias("n"), F.sum(h).alias("s")).first()
+    matches = bool(got["n"] == o_n and got["s"] == o_sum)
+    return out.withColumn("oracle_rows", F.lit(o_n)).withColumn(
+        "matches_oracle", F.lit(matches)
+    )
+
+
+def _summary_cols(df: DataFrame) -> DataFrame:
     # token arrays hashed as their sum+len to keep the rows-only check light
     return df.select(
         "doc_id", "n_tok", "source", "last_lsn",
         F.aggregate("tokens", F.lit(0).cast("long"), lambda a, x: a + x).alias("tokens_sum"),
+    )
+
+
+def _oracle_summary_rows(state, reg) -> list[dict]:
+    from cdc_spark import oracle as _oracle
+
+    return [
+        {
+            "doc_id": r["doc_id"], "n_tok": r["n_tok"], "source": r["source"],
+            "last_lsn": r["last_lsn"],
+            "tokens_sum": sum(r["tokens"]) if r["tokens"] is not None else None,
+        }
+        for r in _oracle.final_rows(state, reg)
+    ]
+
+
+def _q_replay_final(spark, sf):
+    """Engine drive + oracle digest: replay a generated binlog, return
+    per-doc summaries carrying `matches_oracle` derived from the
+    in-process single-threaded applier (cdc_spark/oracle.py)."""
+    from cdc_spark import oracle as _oracle
+    from cdc_spark.genlog import GenConfig, write_binlog
+    from cdc_spark.streaming.pipeline import replay
+
+    n_docs = _load(spark, sf, "documents").count()
+    work = tempfile.mkdtemp(prefix="cdc_entry_")
+    try:
+        cfg = GenConfig(
+            n_events=10_000, n_docs=max(int(n_docs), 50),
+            events_per_epoch=1_000, seed=42,
+        )
+        write_binlog(cfg, f"{work}/binlog")
+        table = replay(spark, f"{work}/binlog", f"{work}/table", lineage=False)
+        out = _summary_cols(table.read_resolved(spark))
+        state, reg = _oracle.replay(f"{work}/binlog/segment-*.parquet")
+        out = _digest_columns(out, _oracle_summary_rows(state, reg))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _q_fetch_replay_final(spark, sf):
+    """Engine drive of the KEY-ONLY feed path (reference CT shape,
+    CTInputDStream.java:112-131): generate the keys twin, fetch-replay
+    it (images come from earlier events + the engine's own state), and
+    digest-pin against the fetch-mode oracle."""
+    from cdc_spark import oracle as _oracle
+    from cdc_spark.genlog import GenConfig, write_binlog_keys
+    from cdc_spark.streaming.pipeline import replay
+
+    n_docs = _load(spark, sf, "documents").count()
+    work = tempfile.mkdtemp(prefix="cdc_fetch_")
+    try:
+        cfg = GenConfig(
+            n_events=10_000, n_docs=max(int(n_docs), 50),
+            events_per_epoch=1_000, seed=42,
+        )
+        write_binlog_keys(cfg, f"{work}/binlog")
+        table = replay(spark, f"{work}/binlog", f"{work}/table", images="fetch",
+                       lineage=False)
+        out = _summary_cols(table.read_resolved(spark))
+        state, reg = _oracle.replay(f"{work}/binlog/segment-*.parquet", images="fetch")
+        out = _digest_columns(out, _oracle_summary_rows(state, reg))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _q_image_fetch_join(spark, sf):
+    """S2's image-fetch join shape on the events table: change KEYS from
+    the tail range RIGHT-OUTER-join the LWW base image built from the
+    head range (reference: CHANGETABLE keys ⋈ base table,
+    CTInputDStream.java:112-131). The base streams; the (small) change
+    set broadcasts — the plan that survives a 100-TB base."""
+    ev = _load(spark, sf, "events")
+    base = (
+        ev.filter(F.col("event_id") <= 7000)
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("event_id", "value"), F.col("event_id")).alias("r"))
+        .select("user_id", F.col("r.event_id").alias("base_event_id"),
+                F.col("r.value").alias("base_value"))
+    )
+    chg = (
+        ev.filter(F.col("event_id") > 7000)
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("event_id", "event_type"), F.col("event_id")).alias("r"))
+        .select("user_id", F.col("r.event_id").alias("change_event_id"),
+                F.col("r.event_type").alias("change_type"))
+    )
+    return base.join(F.broadcast(chg), "user_id", "right_outer").select(
+        "user_id", "change_event_id", "change_type", "base_event_id", "base_value"
     )
 
 
@@ -599,6 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_epoch_lineage": _q_epoch_lineage,       # F3 per-epoch lineage
         "cdc_multi_table_route": _q_multi_table_route,  # per-table dispatch semantics
         "cdc_windowed_agg": _q_windowed_agg,         # event-time window rollup
+        "cdc_image_fetch_join": _q_image_fetch_join,  # S2 CT keys ⋈ base image fetch
         # training-data pipeline ops
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -625,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "cdc_streaming_source_stats": _q_streaming_stats,
         "cdc_replay_final_state": _q_replay_final,
+        "cdc_fetch_replay_final_state": _q_fetch_replay_final,
         "cdc_multi_table_replay": _q_multi_table_replay,
     }
 
@@ -855,6 +997,26 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_type, user_id, max(event_id) AS last_event_id
                   FROM events GROUP BY event_type, user_id) t
             GROUP BY event_type
+        """,
+        "cdc_image_fetch_join": """
+            WITH base AS (
+                SELECT user_id, event_id AS base_event_id, value AS base_value
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY user_id ORDER BY event_id DESC) rn
+                      FROM events WHERE event_id <= 7000) t
+                WHERE rn = 1
+            ),
+            chg AS (
+                SELECT user_id, event_id AS change_event_id,
+                       event_type AS change_type
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY user_id ORDER BY event_id DESC) rn
+                      FROM events WHERE event_id > 7000) t
+                WHERE rn = 1
+            )
+            SELECT c.user_id, c.change_event_id, c.change_type,
+                   b.base_event_id, b.base_value
+            FROM base b RIGHT OUTER JOIN chg c ON b.user_id = c.user_id
         """,
         # approximate ANN paths: deterministic given the seeded
         # hyperplanes / frozen centroids, so exactly oracle-able — the

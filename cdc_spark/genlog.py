@@ -408,3 +408,102 @@ def write_binlog(cfg: GenConfig, outdir: str, parts: int = 1) -> list[str]:
     with open(os.path.join(outdir, "_manifest.json"), "w") as f:
         json.dump({"epochs": manifest}, f)
     return paths
+
+
+# ---------------------------------------------------------------------------
+# Key-only ("CT-shaped") feeds — reference source/sqlserver/CTInputDStream.java
+# ---------------------------------------------------------------------------
+
+def to_keys_feed(table: pa.Table) -> pa.Table:
+    """Full-image epoch table → key-only ("CT-shaped") twin.
+
+    The reference's primary source ships change KEYS, not images: SQL
+    Server Change Tracking yields PKs + op and the row image is fetched
+    by joining the base table (CTInputDStream.java:112-131 RIGHT OUTER
+    image fetch). This transform reshapes a generated epoch the same
+    way: before-images reduce to the PK alone (doc_id), and the after
+    fields a masked update did not supply are nulled — the engine must
+    recover them from its own resolved state (`images="fetch"`).
+    Consumes NO randomness: the same draws, reshaped, so a keys feed is
+    a pure function of the full feed."""
+    import pyarrow.compute as pc
+
+    n = table.num_rows
+    op = table.column("op_type").combine_chunks()
+    mask_l = _one_chunk(table.column("missing_mask"))
+    is_u = np.asarray(pc.equal(op, "U").fill_null(False))
+    # per-field masked flags (plain python over the mask lists: DDL/I/D
+    # rows have null masks; epochs are bounded so this is not a hot path)
+    masks = [set(m) if m is not None else set() for m in mask_l.to_pylist()]
+    tok_masked = pa.array([bool(u) and "tokens" in m for u, m in zip(is_u, masks)])
+    src_masked = pa.array([bool(u) and "source" in m for u, m in zip(is_u, masks)])
+
+    def _null(t):
+        return pa.nulls(n, t)
+
+    empty_map = pa.MapArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32)),
+        pa.array([], type=pa.string()),
+        pa.array([], type=pa.string()),
+    )
+    b = _one_chunk(table.column("before"))
+    before_keys = pa.StructArray.from_arrays(
+        [
+            _one_chunk(b.field("doc_id")),
+            _null(pa.list_(pa.int32())),
+            _null(pa.int32()),
+            _null(pa.string()),
+            empty_map,
+        ],
+        fields=list(ARROW_PAYLOAD),
+        mask=_one_chunk(pc.is_null(b)),
+    )
+    a = _one_chunk(table.column("after"))
+    after_keys = pa.StructArray.from_arrays(
+        [
+            _one_chunk(a.field("doc_id")),
+            _one_chunk(pc.if_else(tok_masked, _null(pa.list_(pa.int32())), a.field("tokens"))),
+            _one_chunk(pc.if_else(tok_masked, _null(pa.int32()), a.field("n_tok"))),
+            _one_chunk(pc.if_else(src_masked, _null(pa.string()), a.field("source"))),
+            _one_chunk(a.field("extra")),
+        ],
+        fields=list(ARROW_PAYLOAD),
+        mask=_one_chunk(pc.is_null(a)),
+    )
+    arrays = []
+    for f in ARROW_CHANGE:
+        if f.name == "before":
+            arrays.append(before_keys)
+        elif f.name == "after":
+            arrays.append(after_keys)
+        else:
+            arrays.append(_one_chunk(table.column(f.name)))
+    return pa.Table.from_arrays(arrays, schema=ARROW_CHANGE)
+
+
+def write_binlog_keys(cfg: GenConfig, outdir: str, parts: int = 1) -> list[str]:
+    """write_binlog twin emitting the key-only feed (to_keys_feed of
+    every epoch; same manifest semantics)."""
+    os.makedirs(outdir, exist_ok=True)
+    paths = []
+    manifest: dict[str, int] = {}
+    for e in range(cfg.n_epochs):
+        t = to_keys_feed(generate_epoch(cfg, e))
+        if parts <= 1:
+            p = os.path.join(outdir, f"segment-{e:05d}.parquet")
+            pq.write_table(t, p)
+            paths.append(p)
+            manifest[str(e)] = 1
+            continue
+        n = t.num_rows
+        step = (n + parts - 1) // parts
+        n_written = 0
+        for pi, lo in enumerate(range(0, n, step)):
+            p = os.path.join(outdir, f"segment-{e:05d}-p{pi:05d}.parquet")
+            pq.write_table(t.slice(lo, step), p)
+            paths.append(p)
+            n_written += 1
+        manifest[str(e)] = n_written
+    with open(os.path.join(outdir, "_manifest.json"), "w") as f:
+        json.dump({"epochs": manifest}, f)
+    return paths

@@ -48,6 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--schedule", default="default", choices=["default", "drop"],
                    help="DDL schedule: default (add/add/rename/widen) or drop "
                         "(adds a drop_column + re-add)")
+    g.add_argument("--images", default="full", choices=["full", "keys"],
+                   help="full: events carry before/after images (GoldenGate "
+                        "shape); keys: key-only CT shape (reference "
+                        "CTInputDStream.java:112-131) — replay/stream it "
+                        "with --images fetch")
 
     for name in ("replay", "stream"):
         r = sub.add_parser(name, help=f"{name} driver: binlog → target table")
@@ -59,6 +64,10 @@ def main(argv: list[str] | None = None) -> int:
         r.add_argument("--wire", default="parquet", choices=["parquet", "avro"],
                        help="segment payload: typed parquet rows, or Avro "
                             "single-object frames (T6; see avro-encode)")
+        r.add_argument("--images", default="carry", choices=["carry", "fetch"],
+                       help="carry: events bring full images; fetch: key-only "
+                            "feed, images fetched from earlier events + the "
+                            "table's own resolved state (reference CT shape)")
         if name == "replay":
             r.add_argument("--no-lineage", action="store_true",
                            help="skip per-partition lineage emission; routes "
@@ -79,6 +88,8 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--binlog", required=True)
     v.add_argument("--table", required=True)
     v.add_argument("--multi-table", action="store_true")
+    v.add_argument("--images", default="carry", choices=["carry", "fetch"],
+                   help="oracle replay mode — use fetch for key-only feeds")
     _add_common(v)
 
     cp = sub.add_parser("compact", help="rewrite base, consume deltas (Iceberg rewrite_data_files analogue)")
@@ -133,7 +144,12 @@ def main(argv: list[str] | None = None) -> int:
             else DEFAULT_DDL_SCHEDULE,
         )
         t0 = time.monotonic()
-        paths = write_binlog(cfg, args.out, parts=args.parts)
+        if args.images == "keys":
+            from cdc_spark.genlog import write_binlog_keys
+
+            paths = write_binlog_keys(cfg, args.out, parts=args.parts)
+        else:
+            paths = write_binlog(cfg, args.out, parts=args.parts)
         print(json.dumps({"segments": len(paths), "events": args.events,
                           "seconds": round(time.monotonic() - t0, 2)}))
         return 0
@@ -143,6 +159,11 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(master=args.master, shuffle_partitions=args.shuffle_partitions)
     try:
         if args.cmd in ("replay", "stream") and args.multi_table:
+            if args.images == "fetch":
+                raise SystemExit(
+                    "--images fetch is single-table only (per-table state "
+                    "joins are not wired into the multi-table router)"
+                )
             t0 = time.monotonic()
             if args.cmd == "replay":
                 from cdc_spark.streaming.pipeline import replay_multi
@@ -183,6 +204,7 @@ def main(argv: list[str] | None = None) -> int:
                     dedupe_mode=args.dedupe, normalize_impl=args.normalize,
                     compact_every=args.compact_every, stats_out=epoch_stats,
                     wire=args.wire, lineage=not args.no_lineage,
+                    images=args.images,
                 )
             else:
                 from cdc_spark.streaming.pipeline import stream
@@ -190,7 +212,7 @@ def main(argv: list[str] | None = None) -> int:
                 table = stream(spark, args.binlog, args.table, checkpoint_dir=args.checkpoint,
                                dedupe_mode=args.dedupe,
                                max_files_per_trigger=args.max_files_per_trigger,
-                               wire=args.wire)
+                               wire=args.wire, images=args.images)
             dt = time.monotonic() - t0
             st = table.state()
             n_rows = table.read_resolved(spark).count()
@@ -227,7 +249,9 @@ def main(argv: list[str] | None = None) -> int:
                 return diffs
 
             if args.multi_table:
-                by_table = oracle.replay_tables(f"{args.binlog}/segment-*.parquet")
+                by_table = oracle.replay_tables(
+                    f"{args.binlog}/segment-*.parquet", images=args.images
+                )
                 router = TableRouter(args.table)
                 diffs, n_oracle, n_engine = [], 0, 0
                 for name, (state, reg) in sorted(by_table.items()):
@@ -250,7 +274,9 @@ def main(argv: list[str] | None = None) -> int:
                                   "sample": diffs[:5]}))
                 return 0 if not diffs else 1
 
-            state, reg = oracle.replay(f"{args.binlog}/segment-*.parquet")
+            state, reg = oracle.replay(
+                f"{args.binlog}/segment-*.parquet", images=args.images
+            )
             expected = {r["doc_id"]: r for r in oracle.final_rows(state, reg)}
             table = TargetTable(args.table)
             actual = {r["doc_id"]: r.asDict() for r in table.read_resolved(spark).collect()}

@@ -106,15 +106,52 @@ def _merged_image(ev: dict) -> dict:
     return img
 
 
-def replay_tables(segments: list[str] | str) -> dict[str, tuple[dict, Registry]]:
+def _fetched_image(ev: dict, fetch_img: dict | None) -> dict:
+    """Full row image for an I/U event in FETCH mode: fields the event
+    did not supply come from the current stored image of the BEFORE key
+    (the reference's CT shape — the feed carries keys, the row image is
+    fetched from the base table, CTInputDStream.java:112-131). extra
+    ACCUMULATES over the fetched image for updates; an insert replaces
+    the row wholesale."""
+    after = ev["after"] or {}
+    mask = set(ev["missing_mask"] or [])
+    img = {}
+    if ev["op_type"] == "U" and "tokens" in mask:
+        img["tokens"] = fetch_img.get("tokens") if fetch_img else None
+        img["n_tok"] = fetch_img.get("n_tok") if fetch_img else None
+    else:
+        img["tokens"] = after.get("tokens")
+        img["n_tok"] = after.get("n_tok")
+    if ev["op_type"] == "U" and "source" in mask:
+        img["source"] = fetch_img.get("source") if fetch_img else None
+    else:
+        img["source"] = after.get("source")
+    if ev["op_type"] == "I":
+        img["extra"] = _as_map(after.get("extra"))
+    else:
+        base = dict(fetch_img["extra"]) if fetch_img else {}
+        img["extra"] = {**base, **_as_map(after.get("extra"))}
+    return img
+
+
+def replay_tables(
+    segments: list[str] | str, images: str = "carry"
+) -> dict[str, tuple[dict, Registry]]:
     """Replay segments (paths or glob) routing by the `table` column →
     {table_name: (state dict, registry)}.
 
     State values: {tokens, n_tok, source, extra(raw str map), last_lsn}.
+    `images="carry"` (default): before-images ride the feed and masked
+    update fields read from them. `images="fetch"`: the feed is key-only
+    (genlog.to_keys_feed shape) and masked/base values come from the
+    replayer's own state — the oracle twin of the engine's
+    `images="fetch"` apply.
     A drop_column is data loss by design (reference CDCKudu.java:103-106):
     the dropped column's values are purged from every live row, so a
-    later re-add starts from nulls — matching the engine's compaction
-    rewrite."""
+    later re-add starts from nulls — matching the engine's read-side
+    registry mask."""
+    if images not in ("carry", "fetch"):
+        raise ValueError(f"unknown images mode {images!r}")
     if isinstance(segments, str):
         segments = sorted(glob.glob(segments))
     out: dict[str, tuple[dict, Registry]] = {}
@@ -148,10 +185,16 @@ def replay_tables(segments: list[str] | str) -> dict[str, tuple[dict, Registry]]
             if op == "D":
                 state.pop(ev["doc_id"], None)
                 continue
-            img = _merged_image(ev)
+            b = ev["before"] or {}
+            a = ev["after"] or {}
+            if images == "fetch":
+                old_key = b.get("doc_id")
+                img = _fetched_image(
+                    ev, state.get(old_key) if old_key is not None else None
+                )
+            else:
+                img = _merged_image(ev)
             if op == "U":
-                b = ev["before"] or {}
-                a = ev["after"] or {}
                 if b.get("doc_id") is not None and b["doc_id"] != a["doc_id"]:
                     state.pop(b["doc_id"], None)  # PK change: D(old) + I(new)
             doc_id = (ev["after"] or {})["doc_id"]
@@ -159,15 +202,87 @@ def replay_tables(segments: list[str] | str) -> dict[str, tuple[dict, Registry]]
     return out
 
 
-def replay(segments: list[str] | str) -> tuple[dict, Registry]:
+def replay(segments: list[str] | str, images: str = "carry") -> tuple[dict, Registry]:
     """Single-table replay (the common fixture shape); raises if the
     feed routes to more than one table — use replay_tables then."""
-    by_table = replay_tables(segments)
+    by_table = replay_tables(segments, images=images)
     if len(by_table) > 1:
         raise ValueError(f"multi-table feed {sorted(by_table)}; use replay_tables")
     if not by_table:
         return {}, Registry()
     return next(iter(by_table.values()))
+
+
+def fill_images(keys_segments: list[str] | str, out_dir: str) -> list[str]:
+    """Key-only feed → honest full-image twin: before-images become the
+    replayer's CURRENT stored image of the before key (state-honest,
+    unlike the synthetic-deterministic images of genlog's full mode).
+
+    Purpose: pins the fetch path three ways — engine-fetch(keys) ==
+    engine-carry(fill_images(keys)) == oracle(either) — because a
+    carry-mode apply of the filled feed reads from before-images exactly
+    what a fetch-mode apply of the keys feed reads from state."""
+    import os
+
+    import pyarrow as pa
+
+    from cdc_spark.genlog import ARROW_CHANGE
+
+    if isinstance(keys_segments, str):
+        keys_segments = sorted(glob.glob(keys_segments))
+    os.makedirs(out_dir, exist_ok=True)
+    states: dict[str, dict] = {}
+    regs: dict[str, Registry] = {}
+    paths = []
+    for seg in keys_segments:
+        tbl = pq.read_table(seg)
+        out_rows = []
+        for ev in tbl.to_pylist():
+            op = ev["op_type"]
+            row = dict(ev)
+            if op in ("U", "D"):
+                state = states.setdefault(ev["table"], {})
+                old_key = (ev["before"] or {}).get("doc_id")
+                img = state.get(old_key) if old_key is not None else None
+                row["before"] = {
+                    "doc_id": old_key,
+                    "tokens": list(img["tokens"]) if img and img["tokens"] is not None else None,
+                    "n_tok": img["n_tok"] if img else None,
+                    "source": img["source"] if img else None,
+                    "extra": dict(img["extra"]) if img else {},
+                } if old_key is not None else None
+            out_rows.append(row)
+            # advance state with fetch semantics (mirrors replay_tables)
+            if op in ("H", "DDL"):
+                if op == "DDL":
+                    state = states.setdefault(ev["table"], {})
+                    reg = regs.setdefault(ev["table"], Registry())
+                    if ev["ddl_kind"] == "drop_column":
+                        key = next(
+                            (c["source_key"] for c in reg.cols
+                             if c["target"] == json.loads(ev["ddl_payload"])["name"]),
+                            None,
+                        )
+                        if key is not None:
+                            for r in state.values():
+                                r["extra"].pop(key, None)
+                    reg.apply(ev["ddl_kind"], ev["ddl_payload"])
+                continue
+            state = states.setdefault(ev["table"], {})
+            if op == "D":
+                state.pop(ev["doc_id"], None)
+                continue
+            b = ev["before"] or {}
+            old_key = b.get("doc_id")
+            img = _fetched_image(ev, state.get(old_key) if old_key is not None else None)
+            if op == "U" and old_key is not None and old_key != ev["after"]["doc_id"]:
+                state.pop(old_key, None)
+            state[ev["after"]["doc_id"]] = {**img, "last_lsn": ev["lsn"]}
+        out = pa.Table.from_pylist(out_rows, schema=ARROW_CHANGE)
+        p = os.path.join(out_dir, os.path.basename(seg))
+        pq.write_table(out, p)
+        paths.append(p)
+    return paths
 
 
 def final_rows(state: dict, reg: Registry) -> list[dict]:

@@ -98,6 +98,7 @@ def apply_batch(
     normalize_impl: str = "expr",
     lineage_dir: str | None = None,
     verify_redelivery: bool = False,
+    images: str = "carry",
 ) -> dict:
     """Apply one epoch's change events; returns {applied, n_events, ...}.
 
@@ -107,7 +108,15 @@ def apply_batch(
     the redelivered batch) — the streaming driver enables it because a
     file-source trigger limit can split an epoch across micro-batches;
     batch `replay` always delivers whole epochs, so it skips the scan and
-    resume stays O(1) per committed epoch."""
+    resume stays O(1) per committed epoch.
+
+    `images="carry"` (default): events carry full before/after images
+    (the GoldenGate shape). `images="fetch"`: the feed is key-only (the
+    reference's SQL Server CT shape, CTInputDStream.java:112-131) and
+    unsupplied fields are fetched from earlier same-epoch events or the
+    table's own resolved state (operators/fetch.py)."""
+    if images not in ("carry", "fetch"):
+        raise ValueError(f"unknown images mode {images!r}")
     t0 = time.monotonic()
     if table.has_epoch(epoch):
         # Exactly-once no-op on true redelivery — but a COUNT/LSN-range
@@ -136,14 +145,16 @@ def apply_batch(
     # the nested before/after structs + maps into the columnar cache
     # (measured 5.8s persist vs <1s pruned scans per 250k-event epoch).
 
-    if lineage_dir is None:
+    if lineage_dir is None and images == "carry":
         # -- fast path (no per-partition lineage requested): the epoch's
         # guard + journal stats fold into the WRITE job as Observation
         # metrics (CollectMetrics blocks filter pushdown through it, so
         # every raw row is counted), and the pre-pass shrinks to the
         # pushdown-pruned DDL probe. Cuts one full-scan job per epoch —
         # per-epoch fixed cost is the dominant throughput term for small
-        # micro-batches (BENCH.md epoch-size sensitivity table).
+        # micro-batches (BENCH.md epoch-size sensitivity table). Fetch
+        # mode always takes the full pre-pass (it needs the stats and
+        # the drop-DDL list before touching state anyway).
         return _apply_batch_observed(
             spark, table, batch, epoch, t0,
             dedupe_mode=dedupe_mode, normalize_impl=normalize_impl,
@@ -164,15 +175,33 @@ def apply_batch(
     ddl_rows = sorted(
         (e for r in lineage for e in r["ddl_events"]), key=lambda e: e["lsn"]
     )
+    drops: list[tuple[int, str]] = []
     for r in ddl_rows:
+        if images == "fetch" and r["ddl_kind"] == "drop_column":
+            # fetch folds accumulate extra values across the epoch; a
+            # drop must purge values set before it from the fold (the
+            # oracle purges its state the same way) — capture the
+            # column's source_key from the registry BEFORE the drop
+            from cdc_spark.sinks.target import norm_registry
+
+            name = json.loads(r["ddl_payload"])["name"]
+            hit = [c for c in norm_registry(table.state()["registry"])
+                   if c["target"] == name]
+            if hit:
+                drops.append((r["lsn"], hit[0]["source_key"]))
         table.apply_ddl(spark, r["ddl_kind"], r["ddl_payload"], ddl_id=f"{epoch}:{r['lsn']}")
 
     registry = table.state()["registry"]
 
     # -- phase 2: normalize → dedupe → project → delta commit --
-    events = normalize(batch, impl=normalize_impl)
-    deduped = lww_dedupe(events, key="doc_id", order="lsn", mode=dedupe_mode)
-    delta = project_to_table(deduped, registry)
+    if images == "fetch":
+        from cdc_spark.operators.fetch import build_fetch_delta
+
+        delta = build_fetch_delta(spark, table, batch, drops)
+    else:
+        events = normalize(batch, impl=normalize_impl)
+        deduped = lww_dedupe(events, key="doc_id", order="lsn", mode=dedupe_mode)
+        delta = project_to_table(deduped, registry)
     n_events = int(sum(r["n_insert"] + r["n_update"] + r["n_delete"] + r["n_ddl"] for r in lineage))
     stats = {
         "n_events": n_events + int(sum(r["n_heartbeat"] for r in lineage)),
@@ -181,8 +210,13 @@ def apply_batch(
     }
     # the LWW dedupe aggregate already hash-partitions by doc_id ('agg'
     # and 'salted' modes; 'window' too — Window.partitionBy shuffles by
-    # key), so the bucketed delta write needs no second exchange
+    # key; fetch mode's per-key replay groupBy likewise), so the
+    # bucketed delta write needs no second exchange
     entry = table.commit_delta(delta, epoch, stats=stats, pre_partitioned=True)
+    if images == "fetch":
+        from cdc_spark.caching import release_persisted
+
+        release_persisted()  # the fetch winners cache is epoch-scoped
 
     dt = time.monotonic() - t0
     if lineage_dir is not None and entry is not None:
@@ -561,6 +595,7 @@ def replay(
     compact_every: int = 16,
     stats_out: list | None = None,
     wire: str = "parquet",
+    images: str = "carry",
 ) -> TargetTable:
     """Batch replay driver: one apply_batch per segment, in epoch order.
 
@@ -579,6 +614,7 @@ def replay(
         res = apply_batch(
             spark, table, batch, epoch,
             dedupe_mode=dedupe_mode, normalize_impl=normalize_impl, lineage_dir=lineage_dir,
+            images=images,
         )
         if stats_out is not None:
             stats_out.append(res)
@@ -708,6 +744,7 @@ def stream(
     max_files_per_trigger: int | None = None,
     wire: str = "parquet",
     multi: bool = False,
+    images: str = "carry",
 ):
     """Structured Streaming driver: readStream over the segment directory,
     foreachBatch → the same apply_batch (reference: DStream pipeline,
@@ -773,7 +810,7 @@ def stream(
             apply_batch(
                 spark, table, cur, e,
                 dedupe_mode=dedupe_mode, lineage_dir=lineage_dir,
-                verify_redelivery=True,
+                verify_redelivery=True, images=images,
             )
             sparse.add(e)
             latest = e if latest is None else max(latest, e)

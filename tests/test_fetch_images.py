@@ -1,0 +1,165 @@
+"""Key-only change feeds (`images="fetch"`) — the reference's primary
+source shape (SQL Server CT: keys + op on the wire, row images fetched
+by joining the base table, CTInputDStream.java:112-131).
+
+Pins the triangle: engine-fetch(keys) == oracle-fetch(keys) ==
+engine-carry(fill_images(keys)) — the third leg replays a state-honest
+full-image twin of the keys feed through the UNCHANGED carry path, so
+the fetch implementation can't drift from the established carry
+semantics without one of the legs failing."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+
+from cdc_spark import oracle
+from cdc_spark.genlog import (
+    DDL_SCHEDULE_WITH_DROP,
+    GenConfig,
+    write_binlog_keys,
+)
+from cdc_spark.streaming.pipeline import replay
+from tests.conftest import rows_equal
+
+
+def _assert_fetch_matches_oracle(spark, table, keys_dir):
+    state, reg = oracle.replay(f"{keys_dir}/segment-*.parquet", images="fetch")
+    expected = oracle.final_rows(state, reg)
+    actual = [r.asDict() for r in table.read_resolved(spark).collect()]
+    diffs = rows_equal(expected, actual)
+    assert not diffs, f"{len(diffs)} diffs, first 10: {diffs[:10]}"
+
+
+@pytest.fixture(scope="module")
+def keys_cfg():
+    return GenConfig(
+        n_events=5000, n_docs=300, events_per_epoch=1000, seed=31,
+        ddl_schedule=DDL_SCHEDULE_WITH_DROP, p_heartbeat=0.01,
+    )
+
+
+@pytest.fixture(scope="module")
+def keys_binlog(workdir, keys_cfg):
+    d = f"{workdir}/binlog_keys"
+    write_binlog_keys(keys_cfg, d)
+    return d
+
+
+def test_fetch_replay_matches_fetch_oracle(spark, workdir, keys_binlog):
+    table = replay(spark, keys_binlog, f"{workdir}/t_fetch", images="fetch",
+                   lineage=False)
+    _assert_fetch_matches_oracle(spark, table, keys_binlog)
+
+
+def test_fetch_equals_carry_on_filled_feed(spark, workdir, keys_binlog):
+    """fill_images derives the state-honest full-image twin; replaying
+    it through the untouched carry path must land on the same final
+    state as fetch-replaying the keys feed."""
+    filled = f"{workdir}/binlog_filled"
+    oracle.fill_images(f"{keys_binlog}/segment-*.parquet", filled)
+    t_carry = replay(spark, filled, f"{workdir}/t_carry_filled")
+    t_fetch = replay(spark, keys_binlog, f"{workdir}/t_fetch2", images="fetch")
+    a = {r["doc_id"]: r.asDict() for r in t_carry.read_resolved(spark).collect()}
+    b = {r["doc_id"]: r.asDict() for r in t_fetch.read_resolved(spark).collect()}
+    assert set(a) == set(b)
+    diffs = [(k, a[k], b[k]) for k in a
+             if {**a[k], "tokens": list(a[k]["tokens"] or [])}
+             != {**b[k], "tokens": list(b[k]["tokens"] or [])}]
+    assert not diffs, diffs[:5]
+
+
+def test_fetch_cross_key_chains(spark, workdir):
+    """PK-change-heavy + heavily masked feed: the driver-side cross-key
+    resolver must reproduce the oracle exactly (chained copies of fields
+    across keys within one epoch)."""
+    cfg = GenConfig(
+        n_events=3000, n_docs=120, events_per_epoch=600, seed=77,
+        p_pk_change=0.5, p_missing_tokens=0.8, p_missing_source=0.8,
+        ddl_schedule=(),
+    )
+    d = f"{workdir}/binlog_keys_chains"
+    write_binlog_keys(cfg, d)
+    table = replay(spark, d, f"{workdir}/t_chains", images="fetch", lineage=False)
+    _assert_fetch_matches_oracle(spark, table, d)
+
+
+def test_fetch_resumes_and_streams(spark, workdir, keys_binlog):
+    """Fetch mode composes with the exactly-once drivers: a stopped
+    replay resumes; the streaming driver lands on the same state."""
+    from cdc_spark.streaming.pipeline import stream
+
+    root = f"{workdir}/t_fetch_resume"
+    replay(spark, keys_binlog, root, images="fetch", stop_after=2, lineage=False)
+    table = replay(spark, keys_binlog, root, images="fetch", lineage=False)
+    _assert_fetch_matches_oracle(spark, table, keys_binlog)
+
+    t2 = stream(spark, keys_binlog, f"{workdir}/t_fetch_stream",
+                checkpoint_dir=f"{workdir}/ckpt_fetch", images="fetch")
+    _assert_fetch_matches_oracle(spark, t2, keys_binlog)
+
+
+def test_fetch_state_join_is_broadcast(spark, workdir, keys_binlog):
+    """Scale pin: the per-epoch image fetch streams the resolved table
+    through broadcast joins (semi + left) — the state side never pays a
+    shuffle, mirroring the reference's per-batch base-table join."""
+    from cdc_spark.operators.fetch import build_fetch_delta
+    from cdc_spark.sinks.target import TargetTable
+    from cdc_spark.sources.binlog import list_segments, read_changes
+
+    root = f"{workdir}/t_fetch_plan"
+    replay(spark, keys_binlog, root, images="fetch", stop_after=2, lineage=False)
+    table = TargetTable(root)
+    segs = list_segments(keys_binlog)
+    batch = read_changes(spark, segs[2])
+    delta = build_fetch_delta(spark, table, batch, drops=[])
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    from cdc_spark.caching import release_persisted
+
+    release_persisted()
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # semi + left
+    assert "SortMergeJoin" not in plan
+
+
+def test_fetch_pending_base_key_with_no_inepoch_events(spark, workdir):
+    """Regression (found by the contract digest): a masked PK-change
+    whose OLD key has no events earlier in the epoch must fetch the
+    field from pre-epoch STATE, not resolve to an explicit null."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_spark.genlog import ARROW_CHANGE
+
+    d = f"{workdir}/binlog_empty_chain"
+    import os
+
+    os.makedirs(d, exist_ok=True)
+
+    def ev(lsn, epoch, op, before_key=None, after=None, mask=None):
+        return {
+            "lsn": lsn, "epoch": epoch, "table": "corpus.tokens", "op_type": op,
+            "primary_keys": ["doc_id"],
+            "doc_id": (after or {}).get("doc_id") or before_key,
+            "before": {"doc_id": before_key, "tokens": None, "n_tok": None,
+                       "source": None, "extra": {}} if before_key else None,
+            "after": after, "missing_mask": mask,
+            "ddl_kind": None, "ddl_payload": None,
+        }
+
+    full = {"doc_id": "A", "tokens": [1, 2, 3], "n_tok": 3, "source": "wiki",
+            "extra": {}}
+    e0 = [ev(1, 0, "I", after=full)]
+    # epoch 1: A's ONLY event is the masked PK-change into B
+    e1 = [ev(2, 1, "U", before_key="A",
+             after={"doc_id": "B", "tokens": None, "n_tok": None,
+                    "source": "web", "extra": {}},
+             mask=["tokens"])]
+    pq.write_table(pa.Table.from_pylist(e0, schema=ARROW_CHANGE), f"{d}/segment-00000.parquet")
+    pq.write_table(pa.Table.from_pylist(e1, schema=ARROW_CHANGE), f"{d}/segment-00001.parquet")
+    table = replay(spark, d, f"{workdir}/t_empty_chain", images="fetch", lineage=False)
+    rows = {r["doc_id"]: r.asDict() for r in table.read_resolved(spark).collect()}
+    assert set(rows) == {"B"}  # A deleted by the PK change
+    assert list(rows["B"]["tokens"]) == [1, 2, 3]  # fetched from A's state
+    assert rows["B"]["source"] == "web"
+    _assert_fetch_matches_oracle(spark, table, d)
