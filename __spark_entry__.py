@@ -359,6 +359,29 @@ def _q_ngram_jaccard(spark, sf):
     return jaccard_pairs(_docs_with_variants(spark, sf), threshold=0.5)
 
 
+def _q_dup_clusters(spark, sf):
+    """P2 follow-through: near-dup candidate pairs → connected-component
+    clusters with min-id representatives (the keep/drop decision of a
+    dedup pipeline). Iterative min-label propagation; DuckDB oracle is a
+    recursive-CTE reachability query over the same pair set."""
+    from cdc_spark.functions.dedup import dup_clusters, minhash_candidate_pairs
+
+    docs = _docs_with_variants(spark, sf)
+    pairs = minhash_candidate_pairs(docs)
+    return dup_clusters(docs.select("doc_id"), pairs)
+
+
+def _q_stratified_sample(spark, sf):
+    """Deterministic content-keyed stratified sampling per source —
+    rerun/partitioning-invariant (unlike seeded df.sample), exact SQL
+    twin via the cross-engine md5-prefix hash."""
+    from cdc_spark.functions.sampling import stratified_sample
+
+    d = _load(spark, sf, "documents")
+    out = stratified_sample(d, id_col="doc_id", stratum_col="source")
+    return out.select("doc_id", "source", "lang", "rate_permille")
+
+
 def _q_rolling_fp(spark, sf):
     from cdc_spark.functions.dedup import rolling_fingerprint
 
@@ -751,6 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": _q_ngram_jaccard,
         "doc_rolling_fp": _q_rolling_fp,
         "doc_bpe_tokens": _q_bpe_tokens,
+        "doc_dup_clusters": _q_dup_clusters,
+        "corpus_stratified_sample": _q_stratified_sample,
         "emb_l2_norm": _q_emb_norm,
         "emb_cosine_topk": _q_emb_topk,
         "emb_near_dup_exact": _q_emb_near_dup_exact,
@@ -902,6 +927,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
         """,
         "doc_minhash_dedup": _sql_minhash_pairs_over_variants(),
+        "doc_dup_clusters": _sql_dup_clusters_over_variants(),
+        "corpus_stratified_sample": _sql_stratified_sample_docs(),
         "doc_simhash": sql_simhash_query(),
         "doc_ngram_jaccard": _sql_jaccard_over_variants(),
         "doc_rolling_fp": f"""
@@ -1050,3 +1077,20 @@ def _sql_jaccard_over_variants() -> str:
     from cdc_spark.functions.dedup import sql_jaccard_pairs
 
     return _with_variants(sql_jaccard_pairs(table="docs_v", threshold=0.5))
+
+
+def _sql_dup_clusters_over_variants() -> str:
+    from cdc_spark.functions.dedup import sql_dup_clusters
+
+    return sql_dup_clusters(
+        pairs_sql=_sql_minhash_pairs_over_variants(),
+        nodes_sql=f"SELECT doc_id FROM ({_SQL_DOC_VARIANTS}) v",
+    )
+
+
+def _sql_stratified_sample_docs() -> str:
+    from cdc_spark.functions.sampling import sql_stratified_sample
+
+    return sql_stratified_sample(
+        table="documents", select="doc_id, source, lang"
+    )

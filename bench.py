@@ -61,7 +61,14 @@ HEADLINE = [
     "cdc_multi_table_route",
     "cdc_multi_table_replay",
     "emb_cosine_topk_ivf_indexed",
+    # added round 3
+    "cdc_image_fetch_join",
 ]
+
+#: key-only fetch replay is ~an order heavier per event than carry
+#: (per-key sequential replay + a state join per epoch), so it gets its
+#: own smaller event budget
+N_FETCH_EVENTS = int(os.environ.get("CDC_BENCH_FETCH_EVENTS", "500000"))
 
 
 def _materialize(df) -> None:
@@ -102,10 +109,24 @@ def main() -> int:
         table = replay(spark, f"{work}/binlog", f"{work}/table", lineage=False)
         final_rows = table.read_resolved(spark).count()
         replay_sec = time.monotonic() - t0
+        # -- 1b. key-only (CT-shaped) fetch replay — round 3 -------------
+        from cdc_spark.genlog import write_binlog_keys
+
+        fetch_cfg = GenConfig(
+            n_events=N_FETCH_EVENTS, n_docs=max(N_FETCH_EVENTS // 10, 1000),
+            events_per_epoch=EPOCH, seed=42,
+        )
+        write_binlog_keys(fetch_cfg, f"{work}/keys_binlog", parts=32)
+        t0 = time.monotonic()
+        ftable = replay(spark, f"{work}/keys_binlog", f"{work}/fetch_table",
+                        images="fetch", lineage=False)
+        fetch_rows = ftable.read_resolved(spark).count()
+        fetch_sec = time.monotonic() - t0
     finally:
         shutil.rmtree(work, ignore_errors=True)
     queries["cdc_replay"] = round(replay_sec, 3)
     events_per_sec = N_EVENTS / replay_sec if replay_sec > 0 else None
+    queries["cdc_fetch_replay"] = round(fetch_sec, 3)
 
     # -- 2. contract queries ------------------------------------------------
     qs = entrymod.queries()
@@ -137,6 +158,9 @@ def main() -> int:
         "replay_events_per_sec": round(events_per_sec, 1) if events_per_sec else None,
         "replay_final_rows": final_rows,
         "replay_jit_warmup": True,  # since r2: 20k-event untimed warmup replay
+        "fetch_replay_events": N_FETCH_EVENTS,
+        "fetch_replay_events_per_sec": round(N_FETCH_EVENTS / fetch_sec, 1) if fetch_sec > 0 else None,
+        "fetch_replay_final_rows": fetch_rows,
     }))
     spark.stop()
     return 0

@@ -371,3 +371,90 @@ def sql_rolling_fingerprint(expr: str, mod: int = 1_000_000_007, mult: int = 31)
         f"list_reduce(list_prepend(0::BIGINT, list_transform({words}, w -> {h})), "
         f"(acc, x) -> (acc * {mult} + x) % {mod})"
     )
+
+
+def dup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: connected
+    components with the minimum member id as each cluster's
+    representative — the step that turns pairwise near-dup hits (P2/P4/
+    P5 output) into keep/drop decisions (keep the representative, drop
+    the rest).
+
+    Min-label propagation: every node starts labelled with itself; each
+    round takes the min of its own and its neighbors' labels; converged
+    when a round changes nothing. Rounds ≤ graph diameter — near-dup
+    graphs are short chains/stars of variants, so a handful. Each round
+    is one shuffle (edges ⋈ labels, groupBy node); the convergence probe
+    is an O(1)-row count, never a collect of data rows. This is the
+    classic iterative-min formulation (cf. the large-star/small-star
+    connected-components family) — the shape that survives 100 TB
+    because per-round cost is one hash join + one hash aggregate on
+    (node), both map-side combinable.
+    """
+    from cdc_spark.caching import track_persist
+
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = track_persist(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
+    labels = track_persist(
+        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    )
+    for _ in range(max_iters):
+        nb = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new = track_persist(
+            labels.join(nb, labels["node"] == nb["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iters} rounds "
+            "(graph diameter exceeds the cap)"
+        )
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))
+
+
+def sql_dup_clusters(pairs_sql: str, nodes_sql: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of `dup_clusters`: recursive reachability → min
+    reachable id per node. `pairs_sql` must yield (id_a, id_b);
+    `nodes_sql` must yield the id column."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        nodes AS ({nodes_sql}),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM pairs
+            UNION ALL
+            SELECT id_b AS s, id_a AS d FROM pairs
+        ),
+        reach(node, lab) AS (
+            SELECT {id_col}, {id_col} FROM nodes
+            UNION
+            SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+        )
+        SELECT node AS {id_col}, CAST(min(lab) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY node
+    """

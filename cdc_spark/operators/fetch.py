@@ -20,11 +20,13 @@ Dataflow (per epoch):
    exactly on the driver from a bounded broadcast-collected slice of
    the epoch (transitive closure over chained PK-changes), then
    re-injected as literal events. Zero extra state reads.
-3. `fetch_winners` — per-key sequential replay as Arrow-batched
-   `applyInPandas` over groupBy(doc_id): ONE shuffle, the same exchange
-   the LWW dedupe pays in carry mode. Emits each key's winning image
-   plus need-from-state flags. (Per-key order is a sequential fold, so
-   hot keys cannot salt here — the trade a key-only feed forces.)
+3. `fetch_winners` — per-key sequential replay as ONE Arrow-batched
+   `mapInPandas` pass per hash partition of doc_id (one shuffle — the
+   same exchange the LWW dedupe pays in carry mode; partition-level
+   batching instead of a per-key UDF, whose per-group pandas overhead
+   dominates at 10^5 keys/epoch). Emits each key's winning image plus
+   need-from-state flags. (Per-key order is a sequential fold, so hot
+   keys cannot salt here — the trade a key-only feed forces.)
 4. `fetch_delta` — winners needing pre-epoch state LEFT-join the
    resolved table filtered through a broadcast semi-join of the needy
    keys: the 100-TB table streams, never shuffles, exactly like the
@@ -149,53 +151,197 @@ class _Marker:
         self.origin = origin
 
 
-def _replay_rows(key: str, rows: list[dict], drops: list[tuple[int, str]]):
-    """Sequential replay of `key`'s in-epoch fetch-events (the oracle's
-    fold, shared by the driver-side cross-key resolver and the Arrow
-    per-key kernel).
-
-    The chain starts ROOTED IN THE KEY'S PRE-EPOCH STATE (markers) —
-    including for an empty `rows` list: an image query against a key
-    with no earlier in-epoch events must defer to stored state, not
-    report an explicit null. D and I/reset events re-root or clear the
-    chain. Returns the final image: tokens/n_tok/source each
-    literal-or-_Marker, fold {src_key: (set_lsn, val)}, origin (state
-    base key or None), and the winning event."""
-    marker = _Marker(key)
-    tokens: object = marker
-    n_tok: object = marker
-    source: object = marker
-    fold: dict = {}
-    origin: str | None = key
-    last = None
-    for ev in rows:
-        last = ev
-        if ev["deleted"]:
-            tokens, n_tok, source, fold, origin = None, None, None, {}, None
-            continue
-        if ev["reset"]:
-            origin = ev["base_key"]  # None → absolute (I); else old-key state
-            fold = {k: (ev["lsn"], v) for k, v in (ev["extra"] or {}).items()}
-            if ev["set_tokens"]:
-                tokens, n_tok = ev["tokens"], ev["n_tok"]
-            else:
-                tokens = n_tok = _Marker(origin)
-            source = ev["source"] if ev["set_source"] else _Marker(origin)
-            continue
-        if ev["set_tokens"]:
-            tokens, n_tok = ev["tokens"], ev["n_tok"]
-        if ev["set_source"]:
-            source = ev["source"]
-        for k, v in (ev["extra"] or {}).items():
-            fold[k] = (ev["lsn"], v)
-    for dlsn, skey in drops:
-        if skey in fold and fold[skey][0] < dlsn:
-            del fold[skey]
+def _winner_of(ch: dict, drops: list[tuple[int, str]]) -> dict:
+    """Final winner row for a replayed chain (shared by both kernels)."""
+    last = ch["last"]
+    if last["deleted"]:
+        return {
+            "lsn": last["lsn"], "epoch": last["epoch"], "doc_id": last["doc_id"],
+            "deleted": True, "tokens": None, "n_tok": None, "source": None,
+            "extra": {}, "need_tokens": False, "need_source": False,
+            "need_extra": False, "state_key": None,
+        }
+    tv, sv = ch["tokens"], ch["source"]
+    need_t = isinstance(tv, _Marker)
+    need_s = isinstance(sv, _Marker)
     return {
-        "tokens": tokens, "n_tok": n_tok, "source": source,
-        "fold": fold, "origin": origin,
-        "last": last,
+        "lsn": last["lsn"], "epoch": last["epoch"], "doc_id": last["doc_id"],
+        "deleted": False,
+        "tokens": None if need_t else tv,
+        "n_tok": None if need_t else ch["n_tok"],
+        "source": None if need_s else sv,
+        "extra": _folded(ch["fold"], drops),
+        "need_tokens": need_t, "need_source": need_s,
+        "need_extra": ch["origin"] is not None,
+        "state_key": ch["origin"],
     }
+
+
+def _folded(fold: dict, drops: list[tuple[int, str]], at_lsn: int | None = None) -> dict:
+    """fold {key: (set_lsn, val)} → {key: val} with drop-DDL purges
+    applied (a drop kills values set before it; bounded-list scan —
+    DDL volume is tiny)."""
+    if not drops:
+        return {k: v for k, (_l, v) in fold.items()}
+    out = {}
+    for k, (l, v) in fold.items():
+        if not any(sk == k and l < dl and (at_lsn is None or dl <= at_lsn)
+                   for dl, sk in drops):
+            out[k] = v
+    return out
+
+
+def _new_chain(key: str) -> dict:
+    m = _Marker(key)
+    return {"tokens": m, "n_tok": m, "source": m, "fold": {}, "origin": key,
+            "last": None}
+
+
+def _chain_apply(ch: dict, ev: dict) -> None:
+    """Advance a chain by one event (one oracle-equivalent transition
+    per event, O(1) each)."""
+    ch["last"] = ev
+    if ev["deleted"]:
+        ch["tokens"] = ch["n_tok"] = ch["source"] = None
+        ch["fold"] = {}
+        ch["origin"] = None
+        return
+    if ev["reset"]:
+        origin = ev["base_key"]
+        ch["origin"] = origin
+        ch["fold"] = {k: (ev["lsn"], v) for k, v in (ev["extra"] or {}).items()}
+        if ev["set_tokens"]:
+            ch["tokens"], ch["n_tok"] = ev["tokens"], ev["n_tok"]
+        else:
+            ch["tokens"] = ch["n_tok"] = _Marker(origin)
+        ch["source"] = ev["source"] if ev["set_source"] else _Marker(origin)
+        return
+    if ev["set_tokens"]:
+        ch["tokens"], ch["n_tok"] = ev["tokens"], ev["n_tok"]
+    if ev["set_source"]:
+        ch["source"] = ev["source"]
+    for k, v in (ev["extra"] or {}).items():
+        ch["fold"][k] = (ev["lsn"], v)
+
+
+_ANSWER_SCHEMA = T.StructType(
+    [
+        T.StructField("pending_lsn", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("tokens_is_marker", T.BooleanType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("source_is_marker", T.BooleanType()),
+        T.StructField("origin", T.StringType()),
+        T.StructField("fold", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+_MAX_CHAIN_ROUNDS = 8
+
+#: sentinel: chain component whose value depends on a not-yet-resolved
+#: cross-key pending (resolved in a later round)
+_UNK = object()
+
+
+def _query_fold_kernel(drops: list[tuple[int, str]]):
+    """Partition kernel answering image QUERIES interleaved with the
+    base-key timelines they target.
+
+    Stream rows carry `kind`: 0 = normal event (apply), 1 = PLACEHOLDER
+    for an unresolved pending (its own supplied fields apply; inherited
+    components become UNKNOWN until a barrier or setter overrides), 2 =
+    QUERY (emit the chain snapshot strictly-before its lsn; the same-lsn
+    D-half of the PK-change sorts after the query, matching the oracle's
+    fetch-then-delete order)."""
+    import pandas as pd
+
+    def run_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if pdf.empty:
+            return
+        pdf = pdf.assign(_qord=(pdf["kind"] != 2).astype("int8"))
+        pdf = pdf.sort_values(["doc_id", "lsn", "_qord"], kind="mergesort")
+        cols = list(pdf.columns)
+        out = []
+        ch = None
+        cur_key = None
+        for tup in pdf.itertuples(index=False):
+            ev = dict(zip(cols, tup))
+            if ev["doc_id"] != cur_key:
+                cur_key = ev["doc_id"]
+                ch = _new_chain(cur_key)
+            kind = int(ev["kind"])
+            if kind == 2:  # query: snapshot, never apply
+                need_t = not bool(ev["set_tokens"])
+                need_s = not bool(ev["set_source"])
+                unk = (
+                    (need_t and ch["tokens"] is _UNK)
+                    or (need_s and ch["source"] is _UNK)
+                    or ch["origin"] is _UNK
+                    or ch["fold"] is _UNK
+                )
+                if unk:
+                    out.append({"pending_lsn": ev["lsn"], "ok": False,
+                                "tokens": None, "n_tok": None,
+                                "tokens_is_marker": False, "source": None,
+                                "source_is_marker": False, "origin": None,
+                                "fold": {}})
+                else:
+                    tv, sv = ch["tokens"], ch["source"]
+                    t_marker = isinstance(tv, _Marker)
+                    s_marker = isinstance(sv, _Marker)
+                    origin = ch["origin"]
+                    out.append({
+                        "pending_lsn": ev["lsn"], "ok": True,
+                        "tokens": None if (t_marker or tv is _UNK) else tv,
+                        "n_tok": None if (t_marker or tv is _UNK) else ch["n_tok"],
+                        "tokens_is_marker": t_marker,
+                        "source": None if (s_marker or sv is _UNK) else sv,
+                        "source_is_marker": s_marker,
+                        "origin": origin,
+                        "fold": _folded(ch["fold"], drops, at_lsn=ev["lsn"]),
+                    })
+                continue
+            if ev["tokens"] is not None:
+                ev["tokens"] = list(ev["tokens"])
+            if ev["extra"] is not None and not isinstance(ev["extra"], dict):
+                ev["extra"] = dict(ev["extra"])
+            for b in ("deleted", "reset", "set_tokens", "set_source"):
+                ev[b] = bool(ev[b])
+            if kind == 1:
+                # unresolved pending placeholder: its OWN supplied fields
+                # are known; everything it inherits from its (unresolved)
+                # base is UNKNOWN until a later setter/barrier overrides
+                ch["last"] = ev
+                ch["origin"] = _UNK
+                ch["fold"] = _UNK
+                if ev["set_tokens"]:
+                    ch["tokens"], ch["n_tok"] = ev["tokens"], ev["n_tok"]
+                else:
+                    ch["tokens"] = ch["n_tok"] = _UNK
+                ch["source"] = ev["source"] if ev["set_source"] else _UNK
+                continue
+            # normal event — but an UNKNOWN fold must absorb updates
+            # without forgetting it is unknown-based
+            if not ev["deleted"] and not ev["reset"] and ch["fold"] is _UNK:
+                if ev["set_tokens"]:
+                    ch["tokens"], ch["n_tok"] = ev["tokens"], ev["n_tok"]
+                if ev["set_source"]:
+                    ch["source"] = ev["source"]
+                ch["last"] = ev
+                continue  # fold/origin stay UNKNOWN
+            _chain_apply(ch, ev)
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _ANSWER_SCHEMA.fields]
+            )
+
+    return run_partition
 
 
 def resolve_cross_key(
@@ -205,16 +351,34 @@ def resolve_cross_key(
     literal/marker-resolved twins so the per-key replay becomes fully
     key-local.
 
-    Driver-exact: collects the (rare, capped) pendings plus the epoch
-    events of every key transitively reachable through base_key links,
-    resolves each pending against its base key's in-epoch timeline
-    (state lookups stay SYMBOLIC — origin markers — and are satisfied
-    by fetch_delta's one typed state join)."""
-    pend_rows = (
-        events.filter(F.col("reset") & F.col("base_key").isNotNull())
+    DISTRIBUTED: image queries are co-partitioned with their base key's
+    timeline and answered inside the partition fold — the epoch's events
+    never ship to the driver (Zipf-hot base keys make the naive
+    "collect the referenced timelines" approach pull most of the epoch).
+    Only the pendings themselves (capped) and their answers (one small
+    row each) are collected. True value-dependency chains (a pending
+    whose needed field was last written by another pending) resolve over
+    extra rounds — each round one partition fold; depth beyond
+    _MAX_CHAIN_ROUNDS is a pathological feed and fails loudly. State
+    lookups stay SYMBOLIC (origin markers) and are satisfied by
+    fetch_delta's one typed state join."""
+    names = [f.name for f in FETCH_EVENT_SCHEMA.fields]
+
+    def to_dict(row) -> dict:
+        d = dict(zip(names, row))
+        if d["extra"] is not None and not isinstance(d["extra"], dict):
+            d["extra"] = dict(d["extra"])
+        if d["tokens"] is not None:
+            d["tokens"] = list(d["tokens"])
+        return d
+
+    pend_rows = [
+        to_dict(r)
+        for r in events.filter(F.col("reset") & F.col("base_key").isNotNull())
+        .select(*names)
         .limit(_PENDING_MAX + 1)
         .collect()
-    )
+    ]
     if not pend_rows:
         return events
     if len(pend_rows) > _PENDING_MAX:
@@ -223,129 +387,145 @@ def resolve_cross_key(
             "in one epoch; refusing to resolve a pathological feed "
             "driver-side"
         )
-    by_key: dict[str, list[dict]] = {}
-    have: set[str] = set()
-    want = {r["base_key"] for r in pend_rows}
-    n_collected = 0
-    while want - have:
-        need = sorted(want - have)
-        sub = events.filter(F.col("doc_id").isin(need)).collect()
-        n_collected += len(sub)
-        if n_collected > _CLOSURE_MAX:
-            raise ValueError(
-                f"cross-key fetch closure exceeds {_CLOSURE_MAX} events; "
-                "refusing to resolve a pathological feed driver-side"
-            )
-        have |= set(need)
-        for r in sub:
-            d = r.asDict(recursive=True)
-            by_key.setdefault(d["doc_id"], []).append(d)
-            if d["reset"] and d["base_key"] is not None:
-                want.add(d["base_key"])
-    for rows in by_key.values():
-        rows.sort(key=lambda d: d["lsn"])
 
-    memo: dict[tuple[str, int], dict] = {}
-
-    def image_at(key: str, lsn: int) -> dict:
-        """Image of `key` strictly before `lsn` (chained pendings in the
-        timeline resolve recursively; lsn strictly decreases along a
-        chain, so recursion terminates)."""
-        mk = (key, lsn)
-        if mk in memo:
-            return memo[mk]
-        rows = [_inject(r) for r in by_key.get(key, []) if r["lsn"] < lsn]
-        img = _replay_rows(key, rows, [d for d in drops if d[0] <= lsn])
-        memo[mk] = img
-        return img
-
-    def _inject(r: dict) -> dict:
-        if not (r["reset"] and r["base_key"] is not None):
-            return r
-        return _resolve_one(r)
-
+    base = events.filter(~(F.col("reset") & F.col("base_key").isNotNull()))
+    kind0 = F.lit(0).cast("int").alias("kind")
     resolved: dict[int, dict] = {}
+    unresolved = {r["lsn"]: r for r in pend_rows}
+    ans_names = [f.name for f in _ANSWER_SCHEMA.fields]
 
-    def _resolve_one(r: dict) -> dict:
-        if r["lsn"] in resolved:
-            return resolved[r["lsn"]]
-        img = image_at(r["base_key"], r["lsn"])
-        out = dict(r)
-        if not r["set_tokens"]:
-            tv = img["tokens"]
-            if isinstance(tv, _Marker):
-                out["base_key"], out["tokens"], out["n_tok"] = tv.origin, None, None
+    def make_resolved(p: dict, a: dict) -> dict:
+        out = dict(p)
+        if not p["set_tokens"]:
+            if a["tokens_is_marker"]:
+                out["tokens"], out["n_tok"] = None, None
             else:
-                out["tokens"], out["n_tok"] = tv, img["n_tok"]
+                out["tokens"], out["n_tok"] = a["tokens"], a["n_tok"]
                 out["set_tokens"] = True
-        if not r["set_source"]:
-            sv = img["source"]
-            if isinstance(sv, _Marker):
-                out["base_key"] = sv.origin
-                out["source"] = None
-            else:
-                out["source"] = sv
-                out["set_source"] = True
-        # fold ∪ own extra (own wins); the chain has exactly ONE state
-        # root (img origin — the per-field markers above carry the same
-        # one), so the injected event's base_key is simply that origin
-        # (None ⇒ the chain hit an I/D barrier: fully absolute)
-        merged = {k: v for k, (_l, v) in img["fold"].items()}
-        merged.update(r["extra"] or {})
-        out["extra"] = merged
-        out["base_key"] = img["origin"]
-        resolved[r["lsn"]] = out
+        if not p["set_source"]:
+            out["source"] = None if a["source_is_marker"] else a["source"]
+            out["set_source"] = not a["source_is_marker"]
+        fold = dict(a["fold"] or {})
+        fold.update(p["extra"] or {})
+        out["extra"] = fold
+        # the chain has exactly ONE state root (its origin — any field
+        # markers carry the same one); None => fully absolute
+        out["base_key"] = a["origin"]
         return out
 
-    injected = [_resolve_one(r.asDict(recursive=True)) for r in pend_rows]
-    pend_lsns = [r["lsn"] for r in pend_rows]
+    for _round in range(_MAX_CHAIN_ROUNDS):
+        if not unresolved:
+            break
+        pend_df = spark.createDataFrame(
+            [tuple(d[n] for n in names) for d in unresolved.values()],
+            schema=FETCH_EVENT_SCHEMA,
+        )
+        inj_df = (
+            spark.createDataFrame(
+                [tuple(d[n] for n in names) for d in resolved.values()],
+                schema=FETCH_EVENT_SCHEMA,
+            )
+            if resolved
+            else spark.createDataFrame([], FETCH_EVENT_SCHEMA)
+        )
+        stream = (
+            base.select(*names, kind0)
+            .unionByName(inj_df.select(*names, kind0))
+            .unionByName(
+                pend_df.select(*names, F.lit(1).cast("int").alias("kind"))
+            )
+            .unionByName(
+                pend_df.select(
+                    F.col("base_key").alias("doc_id"),
+                    *[F.col(n) for n in names if n not in ("doc_id",)],
+                    F.lit(2).cast("int").alias("kind"),
+                ).select(*names, "kind")
+            )
+        )
+        answers = (
+            stream.repartition(F.col("doc_id"))
+            .mapInPandas(_query_fold_kernel(drops), _ANSWER_SCHEMA)
+            .collect()
+        )
+        progressed = False
+        for r in answers:
+            a = dict(zip(ans_names, r))
+            if a["fold"] is not None and not isinstance(a["fold"], dict):
+                a["fold"] = dict(a["fold"])
+            if a["tokens"] is not None:
+                a["tokens"] = list(a["tokens"])
+            p = unresolved.get(a["pending_lsn"])
+            if p is None or not a["ok"]:
+                continue
+            resolved[p["lsn"]] = make_resolved(p, a)
+            del unresolved[p["lsn"]]
+            progressed = True
+        if unresolved and not progressed:
+            raise RuntimeError(
+                "cross-key fetch chains did not progress (cyclic or "
+                "malformed feed)"
+            )
+    if unresolved:
+        raise ValueError(
+            f"cross-key fetch chains deeper than {_MAX_CHAIN_ROUNDS} "
+            "rounds; refusing a pathological feed"
+        )
+
     inj_df = spark.createDataFrame(
-        [tuple(d[f.name] for f in FETCH_EVENT_SCHEMA.fields) for d in injected],
+        [tuple(d[n] for n in names) for d in resolved.values()],
         schema=FETCH_EVENT_SCHEMA,
     )
-    return events.filter(~F.col("lsn").isin(pend_lsns) | ~F.col("reset")
-                         | F.col("base_key").isNull()).unionByName(inj_df)
+    # structural filter: EVERY cross-key reset row was just resolved, so
+    # drop that shape wholesale and union the literal twins back in
+    return base.unionByName(inj_df)
 
 
 def fetch_winners(events: DataFrame, drops: list[tuple[int, str]]) -> DataFrame:
-    """groupBy(doc_id) → per-key sequential replay (Arrow batches) →
-    one winning image per key + need-from-state flags."""
+    """Hash-partition by doc_id → ONE sequential pass per partition
+    (sort by (doc_id, lsn), fold each key's chain, emit one winner row
+    per key).
+
+    mapInPandas over whole partitions, not applyInPandas per key: a
+    per-key UDF pays pandas-DataFrame construction per GROUP (~ms), which
+    at 10^5 keys/epoch dominates the epoch. Here the per-partition cost
+    is one concat + one sort + one linear python fold; partition memory
+    is bounded by the doc_id hash partitioning (size shuffle partitions
+    so a partition's epoch slice fits, as for any shuffle)."""
     import pandas as pd
 
-    def replay_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        rows = pdf.sort_values("lsn").to_dict("records")
-        for r in rows:
-            if r["extra"] is not None and not isinstance(r["extra"], dict):
-                r["extra"] = dict(r["extra"])
-            if r["tokens"] is not None:
-                r["tokens"] = list(r["tokens"])
-        img = _replay_rows(rows[0]["doc_id"], rows, drops)
-        last = img["last"]
-        if last["deleted"]:
-            out = {
-                "lsn": last["lsn"], "epoch": last["epoch"], "doc_id": last["doc_id"],
-                "deleted": True, "tokens": None, "n_tok": None, "source": None,
-                "extra": {}, "need_tokens": False, "need_source": False,
-                "need_extra": False, "state_key": None,
-            }
-        else:
-            tv, sv = img["tokens"], img["source"]
-            need_t = isinstance(tv, _Marker)
-            need_s = isinstance(sv, _Marker)
-            out = {
-                "lsn": last["lsn"], "epoch": last["epoch"], "doc_id": last["doc_id"],
-                "deleted": False,
-                "tokens": None if need_t else tv,
-                "n_tok": None if need_t else img["n_tok"],
-                "source": None if need_s else sv,
-                "extra": {k: v for k, (_l, v) in img["fold"].items()},
-                "need_tokens": need_t, "need_source": need_s,
-                "need_extra": img["origin"] is not None,
-                "state_key": img["origin"],
-            }
-        return pd.DataFrame([out])
+    def run_partition(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["doc_id", "lsn"], kind="mergesort")
+        out_rows = []
+        ch = None
+        cur_key = None
+        cols = list(pdf.columns)
+        for tup in pdf.itertuples(index=False):
+            ev = dict(zip(cols, tup))
+            if ev["tokens"] is not None:
+                ev["tokens"] = list(ev["tokens"])
+            if ev["extra"] is not None and not isinstance(ev["extra"], dict):
+                ev["extra"] = dict(ev["extra"])
+            ev["deleted"] = bool(ev["deleted"])
+            ev["reset"] = bool(ev["reset"])
+            ev["set_tokens"] = bool(ev["set_tokens"])
+            ev["set_source"] = bool(ev["set_source"])
+            if ev["doc_id"] != cur_key:
+                if ch is not None:
+                    out_rows.append(_winner_of(ch, drops))
+                cur_key = ev["doc_id"]
+                ch = _new_chain(cur_key)
+            _chain_apply(ch, ev)
+        if ch is not None:
+            out_rows.append(_winner_of(ch, drops))
+        yield pd.DataFrame(out_rows, columns=[f.name for f in WINNER_SCHEMA.fields])
 
-    return events.groupBy("doc_id").applyInPandas(replay_group, WINNER_SCHEMA)
+    return events.repartition(F.col("doc_id")).mapInPandas(run_partition, WINNER_SCHEMA)
 
 
 def fetch_delta(
@@ -406,7 +586,10 @@ def build_fetch_delta(
     groupBy exchange). The persisted winners (used by both the needy-key
     probe and the main join) are registered with caching.track_persist;
     the caller releases them after the delta write action."""
-    events = normalize_fetch(batch)
+    # persisted: the pendings probe, the closure join, and the winners
+    # pass would otherwise each recompute the normalize explode over the
+    # raw batch (cache is epoch-scoped, released with the winners)
+    events = track_persist(normalize_fetch(batch))
     events = resolve_cross_key(spark, events, drops)
     winners = track_persist(fetch_winners(events, drops))
     state = table.read_resolved(spark)

@@ -113,3 +113,42 @@ def test_frame_sample_expansion(docs):
     got = sorted(r["frame_idx"] for r in by_asset["1"])
     assert got == list(range(0, expect_frames, 10))
     assert all(r["ts_ms"] == r["frame_idx"] * 33 for r in rows)
+
+
+def test_dup_clusters_transitive_chain(spark):
+    """A variant-of-a-variant chain must collapse into ONE cluster with
+    the min id as representative (transitivity beyond direct pairs)."""
+    from cdc_spark.functions.dedup import dup_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2), (4, 6)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_rep"] for r in
+           dup_clusters(nodes, pairs).collect()}
+    from cdc_spark.caching import release_persisted
+
+    release_persisted()
+    assert out == {0: 0, 3: 0, 5: 0, 1: 1, 2: 1, 4: 4, 6: 4}
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    """Content-keyed sampling: identical rows survive across reruns and
+    partitionings, and raising a stratum's rate keeps the smaller
+    sample as a strict subset."""
+    from pyspark.sql import functions as F
+
+    from cdc_spark.functions.sampling import stratified_sample
+
+    d = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    a = {r["doc_id"] for r in stratified_sample(d).collect()}
+    b = {r["doc_id"] for r in stratified_sample(d.repartition(13)).collect()}
+    assert a == b and 0 < len(a) < 2000
+    low = {r["doc_id"] for r in
+           stratified_sample(d, rates={"src1": 100}).filter(F.col("source") == "src1").collect()}
+    high = {r["doc_id"] for r in
+            stratified_sample(d, rates={"src1": 700}).filter(F.col("source") == "src1").collect()}
+    assert low < high  # strict subset: upsampling never drops kept rows
