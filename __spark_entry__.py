@@ -716,6 +716,55 @@ def _q_fetch_replay_final(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_multi_table_fetch_replay(spark, sf):
+    """Engine drive: a 2-table KEY-ONLY binlog (reference CT shape,
+    routed per table — CTInputDStream.java:65-99 × 112-131) replayed
+    with --multi-table --images fetch; per-table summary rows carry
+    `matches_oracle` digests from the fetch-mode multi-table oracle."""
+    from cdc_spark import oracle as _oracle
+    from cdc_spark.genlog import GenConfig, write_binlog_keys
+    from cdc_spark.streaming.pipeline import replay_multi
+
+    tables = ("corpus.tokens", "corpus.aux")
+    work = tempfile.mkdtemp(prefix="cdc_mtf_")
+    try:
+        cfg = GenConfig(
+            n_events=6_000, n_docs=400, events_per_epoch=1_500, seed=42,
+            tables=tables, ddl_schedule=_MT_SCHEDULE,
+            p_pk_change=0.10, p_missing_tokens=0.4, p_missing_source=0.4,
+        )
+        write_binlog_keys(cfg, f"{work}/binlog")
+        router = replay_multi(
+            spark, f"{work}/binlog", f"{work}/root", lineage=False,
+            images="fetch",
+        )
+        by_table = _oracle.replay_tables(
+            f"{work}/binlog/segment-*.parquet", images="fetch"
+        )
+        per = []
+        for name in tables:
+            state, _reg = by_table.get(name, ({}, None))
+            o_n = len(state)
+            o_max = max((r["last_lsn"] for r in state.values()), default=None)
+            o_sum = sum(r["n_tok"] for r in state.values() if r["n_tok"] is not None)
+            per.append(
+                router.get(name).read_resolved(spark).agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.max("last_lsn").alias("max_lsn"),
+                    F.sum("n_tok").alias("sum_n_tok"),
+                ).withColumn("table", F.lit(name)).withColumn(
+                    "matches_oracle",
+                    (F.col("n_rows") == F.lit(o_n))
+                    & (F.col("max_lsn") == F.lit(o_max))
+                    & (F.col("sum_n_tok") == F.lit(o_sum)),
+                )
+            )
+        out = per[0].unionByName(per[1])
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_image_fetch_join(spark, sf):
     """S2's image-fetch join shape on the events table: change KEYS from
     the tail range RIGHT-OUTER-join the LWW base image built from the
@@ -793,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": _q_replay_final,
         "cdc_fetch_replay_final_state": _q_fetch_replay_final,
         "cdc_multi_table_replay": _q_multi_table_replay,
+        "cdc_multi_table_fetch_replay": _q_multi_table_fetch_replay,
     }
 
 

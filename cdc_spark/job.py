@@ -159,11 +159,6 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark(master=args.master, shuffle_partitions=args.shuffle_partitions)
     try:
         if args.cmd in ("replay", "stream") and args.multi_table:
-            if args.images == "fetch":
-                raise SystemExit(
-                    "--images fetch is single-table only (per-table state "
-                    "joins are not wired into the multi-table router)"
-                )
             t0 = time.monotonic()
             if args.cmd == "replay":
                 from cdc_spark.streaming.pipeline import replay_multi
@@ -172,6 +167,7 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.binlog, args.table,
                     dedupe_mode=args.dedupe, normalize_impl=args.normalize,
                     compact_every=args.compact_every, wire=args.wire,
+                    images=args.images,
                 )
             else:
                 from cdc_spark.streaming.pipeline import stream
@@ -180,7 +176,7 @@ def main(argv: list[str] | None = None) -> int:
                                 checkpoint_dir=args.checkpoint,
                                 dedupe_mode=args.dedupe,
                                 max_files_per_trigger=args.max_files_per_trigger,
-                                wire=args.wire, multi=True)
+                                wire=args.wire, multi=True, images=args.images)
             out = {}
             for name in router.names():
                 t = router.get(name)

@@ -90,12 +90,14 @@ WINNER_SCHEMA = T.StructType(
 _EMPTY_MAP = "cast(map() as map<string,string>)"
 
 
-def normalize_fetch(changes: DataFrame) -> DataFrame:
+def normalize_fetch(changes: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """CHANGE_SCHEMA rows (key-only wire) → setter-flagged fetch events.
 
     set_tokens/set_source mark fields the event SUPPLIES; reset marks a
     row-image restart (I, or the I-half of a PK-change split, whose
-    image base is the OLD key — base_key)."""
+    image base is the OLD key — base_key). `keep` carries extra
+    top-level columns through (the multi-table router keeps `table` so
+    one staging job can partition the whole epoch's events)."""
     dml = changes.filter(F.col("op_type").isin("I", "U", "D"))
     masked = lambda f: (F.col("op_type") == "U") & F.array_contains(  # noqa: E731
         F.coalesce(F.col("missing_mask"), F.array().cast("array<string>")), f
@@ -139,7 +141,8 @@ def normalize_fetch(changes: DataFrame) -> DataFrame:
         .when(pk_changed, F.array(delete_evt(F.col("before.doc_id")), upsert))
         .otherwise(F.array(upsert))
     )
-    return dml.select(F.explode(events).alias("e")).select("e.*")
+    kept = [F.col(c) for c in keep]
+    return dml.select(*kept, F.explode(events).alias("e")).select(*keep, "e.*")
 
 
 class _Marker:
@@ -590,6 +593,21 @@ def build_fetch_delta(
     # pass would otherwise each recompute the normalize explode over the
     # raw batch (cache is epoch-scoped, released with the winners)
     events = track_persist(normalize_fetch(batch))
+    return fetch_delta_from_events(spark, table, events, drops)
+
+
+def fetch_delta_from_events(
+    spark: SparkSession,
+    table,
+    events: DataFrame,
+    drops: list[tuple[int, str]],
+) -> DataFrame:
+    """resolve → per-key replay → typed state join, over ALREADY
+    normalized fetch events (FETCH_EVENT_SCHEMA). The multi-table router
+    enters here: one staging job normalizes the whole epoch partitioned
+    by table, and each table's slice (a cheap parquet re-read, which is
+    why the slice needs no persist) flows through this per-table tail
+    against that table's own resolved state."""
     events = resolve_cross_key(spark, events, drops)
     winners = track_persist(fetch_winners(events, drops))
     state = table.read_resolved(spark)

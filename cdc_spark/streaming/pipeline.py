@@ -361,6 +361,7 @@ def apply_batch_multi(
     dedupe_mode: str = "agg",
     normalize_impl: str = "expr",
     lineage: bool = True,
+    images: str = "carry",
 ) -> dict:
     """Apply one epoch's change events, routed per `table` column into
     the router's per-table TargetTables (reference: per-table RDD loop,
@@ -378,7 +379,18 @@ def apply_batch_multi(
     REFERENCE to its partition slice (TargetTable.commit_delta_ref —
     zero Spark jobs). The old shape filtered and re-scanned the feed
     once per table: fine at 2 tables, linear-cost at 100. Returns
-    {applied_tables, skipped_tables, n_events, n_ddl, seconds}."""
+    {applied_tables, skipped_tables, n_events, n_ddl, seconds}.
+
+    `images="fetch"` (key-only CT-shaped feed): the same single staging
+    job normalizes the epoch into setter-flagged fetch events
+    partitioned by table; each table's slice then runs the fetch tail
+    (cross-key resolve → per-key replay → typed join against THAT
+    table's resolved state, operators/fetch.py) and commits a real
+    delta. Per-table state joins are inherent to fetch — only work
+    proportional to a table's own slice is per-table; the feed itself
+    is still scanned a constant number of times."""
+    if images not in ("carry", "fetch"):
+        raise ValueError(f"unknown images mode {images!r}")
     t0 = time.monotonic()
 
     # -- phase 0: one pruned pass → per-table stats (which tables, how
@@ -422,8 +434,23 @@ def apply_batch_multi(
             .collect(),
             key=lambda r: r["lsn"],
         )
+    drops_by_table: dict[str, list[tuple[int, str]]] = {}
     for r in ddl_rows:
-        router.get(r["table"]).apply_ddl(
+        t = router.get(r["table"])
+        if images == "fetch" and r["ddl_kind"] == "drop_column":
+            # capture the dropped column's source_key BEFORE the drop
+            # mutates the registry — fetch folds must purge values set
+            # before the drop (same as apply_batch's single-table path)
+            from cdc_spark.sinks.target import norm_registry
+
+            name = json.loads(r["ddl_payload"])["name"]
+            hit = [c for c in norm_registry(t.state()["registry"])
+                   if c["target"] == name]
+            if hit:
+                drops_by_table.setdefault(r["table"], []).append(
+                    (r["lsn"], hit[0]["source_key"])
+                )
+        t.apply_ddl(
             spark, r["ddl_kind"], r["ddl_payload"], ddl_id=f"{epoch}:{r['lsn']}"
         )
 
@@ -433,13 +460,22 @@ def apply_batch_multi(
     applied, skipped = [], []
     names = sorted(per_table)
     need_stage = [n for n in names if not router.get(n).has_epoch(epoch)]
-    stage_dir = os.path.join(router.root, "_mt_stage", f"epoch={epoch:08d}")
+    # fetch stages a different shape (setter-flagged events, not LWW
+    # winners) — a distinct dir name so a mode-switched redelivery can
+    # never consume the wrong-shaped stage
+    stage_dir = os.path.join(
+        router.root, "_mt_stage",
+        f"epoch={epoch:08d}" + (".fetch" if images == "fetch" else ""),
+    )
     slices: dict[str, str] = {}
     if need_stage:
-        _stage_epoch_winners(
-            spark, batch, stage_dir,
-            dedupe_mode=dedupe_mode, normalize_impl=normalize_impl,
-        )
+        if images == "fetch":
+            _stage_epoch_fetch_events(spark, batch, stage_dir)
+        else:
+            _stage_epoch_winners(
+                spark, batch, stage_dir,
+                dedupe_mode=dedupe_mode, normalize_impl=normalize_impl,
+            )
         slices = _stage_slices(stage_dir)
     for name in names:
         table = router.get(name)
@@ -456,13 +492,27 @@ def apply_batch_multi(
         # a table with DML may still have an empty winner slice only if
         # every event was a heartbeat; commit with no ref then
         ref = slices.get(name)
-        if ref is not None:
-            table.commit_delta_ref(spark, epoch, ref, stats=per_table[name])
-        else:
+        if ref is None:
             table.commit_delta(
                 spark.createDataFrame([], table.phys_schema()), epoch,
                 stats=per_table[name],
             )
+        elif images == "fetch":
+            from cdc_spark.caching import release_persisted
+            from cdc_spark.operators.fetch import (
+                FETCH_EVENT_SCHEMA, fetch_delta_from_events,
+            )
+
+            events = spark.read.schema(FETCH_EVENT_SCHEMA).parquet(ref)
+            delta = fetch_delta_from_events(
+                spark, table, events, drops_by_table.get(name, [])
+            )
+            table.commit_delta(
+                delta, epoch, stats=per_table[name], pre_partitioned=True
+            )
+            release_persisted()  # the winners cache is slice-scoped
+        else:
+            table.commit_delta_ref(spark, epoch, ref, stats=per_table[name])
         applied.append(name)
     _sweep_stage(router, os.path.join(router.root, "_mt_stage"))
 
@@ -526,6 +576,30 @@ def _stage_epoch_winners(
     os.rename(tmp, stage_dir)
 
 
+def _stage_epoch_fetch_events(
+    spark: SparkSession, batch: DataFrame, stage_dir: str
+) -> None:
+    """Fetch-mode staging twin of _stage_epoch_winners: ONE job
+    normalizes the whole key-only epoch into setter-flagged fetch
+    events written partitioned by table (same atomic-rename + reuse
+    semantics — the content is a deterministic function of the feed).
+    LWW cannot collapse fetch events before the per-key replay (each
+    event's unsupplied fields depend on its predecessors), so the stage
+    holds events; each table's tail replays only its own slice."""
+    if os.path.isdir(stage_dir):
+        return
+    import shutil as _shutil
+
+    from cdc_spark.operators.fetch import normalize_fetch
+
+    tmp = stage_dir + ".inprogress"
+    _shutil.rmtree(tmp, ignore_errors=True)
+    events = normalize_fetch(batch, keep=("table",))
+    events.write.mode("overwrite").partitionBy("table").parquet(tmp)
+    os.makedirs(os.path.dirname(stage_dir), exist_ok=True)
+    os.rename(tmp, stage_dir)
+
+
 def _stage_slices(stage_dir: str) -> dict[str, str]:
     """Raw table name → its `table=` partition dir (Spark escapes
     partition values Hive-style %xx; unquote restores the raw name)."""
@@ -566,6 +640,7 @@ def replay_multi(
     stop_after: int | None = None,
     compact_every: int = 16,
     wire: str = "parquet",
+    images: str = "carry",
 ) -> TableRouter:
     """Batch replay of a multi-table feed: one apply_batch_multi per
     segment in epoch order; resumable exactly like `replay`."""
@@ -577,6 +652,7 @@ def replay_multi(
         apply_batch_multi(
             spark, router, batch, epoch,
             dedupe_mode=dedupe_mode, normalize_impl=normalize_impl, lineage=lineage,
+            images=images,
         )
         done += 1
         if stop_after is not None and done >= stop_after:
@@ -772,7 +848,9 @@ def stream(
             for e, cur, _ in _epoch_gate(
                 spark, bdf, binlog_dir, staging_root_m, lambda _e: False
             ):
-                apply_batch_multi(spark, router, cur, e, dedupe_mode=dedupe_mode)
+                apply_batch_multi(
+                    spark, router, cur, e, dedupe_mode=dedupe_mode, images=images
+                )
 
         writer = (
             stream_reader(spark, binlog_dir, max_files_per_trigger, wire=wire)
