@@ -26,12 +26,22 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_replay(binlog: str, table: str, cores: int, zip_path: str) -> dict:
-    """One spark-submit replay run; returns the job's JSON result + wall."""
+def run_replay(
+    binlog: str, table: str, cores: int, zip_path: str, pin: bool = False
+) -> dict:
+    """One spark-submit replay run; returns the job's JSON result + wall.
+
+    pin=True runs under `taskset -c 0-(cores-1)` so local[N] is a
+    faithful N-core machine: without it the JVM's GC/JIT/IO threads (and
+    the Python workers) spill onto every core of the host, which inflates
+    small-N throughput and makes the N->4N efficiency meaningless —
+    measured here, unpinned local[2] replays 80M events in 69s while a
+    true 2-core run takes 451s on the same input."""
     shutil.rmtree(table, ignore_errors=True)
     t0 = time.monotonic()
+    prefix = ["taskset", "-c", f"0-{cores - 1}"] if pin else []
     proc = subprocess.run(
-        [
+        prefix + [
             "spark-submit", "--master", f"local[{cores}]",
             # session-builder memory conf is ignored under spark-submit
             # (driver JVM already started) — must be a submit flag.
@@ -77,6 +87,10 @@ def main() -> int:
                          "noisy-neighbor CPU (measured 1.6x spread on "
                          "identical runs), so single samples are "
                          "meaningless; raw samples are reported too")
+    ap.add_argument("--pin-cpus", action="store_true",
+                    help="taskset each run to exactly its core count — "
+                         "REQUIRED for meaningful N->4N efficiency on a "
+                         "many-core host (see run_replay docstring)")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--out", default="BENCH_scaling.md",
                     help="markdown report path relative to the repo root "
@@ -110,7 +124,8 @@ def main() -> int:
     for cores in core_list:
         samples = []
         for rep in range(args.repeat):
-            r = run_replay(binlog, os.path.join(work, f"table_{cores}"), cores, zip_path)
+            r = run_replay(binlog, os.path.join(work, f"table_{cores}"),
+                           cores, zip_path, pin=args.pin_cpus)
             samples.append(r)
             print(f"local[{cores}] run {rep + 1}/{args.repeat}: {r['seconds']}s",
                   file=sys.stderr)
@@ -157,6 +172,7 @@ def main() -> int:
         "samples_sec": {c: results[c]["samples_sec"] for c in core_list},
         "rows_match": len(rows_set) == 1,
         "final_rows": rows_set.pop(),
+        "cpu_pinned": args.pin_cpus,
     }
 
     table_rows = "\n".join(
@@ -169,6 +185,17 @@ def main() -> int:
         for k, v in effs.items()
     )
     min_tp = min(r["events_per_sec"] for r in results.values())
+    pin_note = (
+        "Each run is pinned with `taskset -c 0-(N-1)` so local[N] is a "
+        "faithful N-core machine: unpinned, the JVM's GC/JIT/IO threads "
+        "and the Python workers spill onto all 32 host cores, which "
+        "inflates small-N throughput (unpinned local[2] replays the same "
+        "input in 69s vs 451s truly 2-core) and makes N->4N efficiency "
+        "meaningless." if args.pin_cpus else
+        "Runs are NOT cpu-pinned — small-N numbers borrow the whole "
+        "host's cores for JVM service threads; use --pin-cpus for "
+        "efficiency claims."
+    )
     bench_md = os.path.join(REPO, args.out)
     with open(bench_md, "w") as f:
         f.write(f"""# BENCH — scaling-efficiency evidence (north rule)
@@ -177,7 +204,7 @@ Same job (`spark-submit --py-files cdc_spark.zip cdc_spark/job.py replay`),
 same input (seed-42 synthetic binlog, {args.events:,} change events over
 {args.docs:,} docs, {args.epoch_size:,}-event epochs, {args.parts}
 part-files/epoch), swept over parallelism levels — the sandbox stand-in
-for N vs 4N executors:
+for N vs 4N executors. {pin_note}
 
 | parallelism | shuffle partitions | best replay seconds | events/sec | steady events/sec | all samples (s) |
 |---|---|---|---|---|---|
@@ -203,7 +230,7 @@ Reference context: the reference pipeline is hard-capped at 1 source
 partition × 1,000 records/sec (BASELINE.md) ≈ **1,000 events/sec** —
 every run above exceeds it by >{int(min_tp / 1000)}×.
 
-Regenerate: `python tools/bench_scaling.py --events {args.events} --cores {",".join(str(c) for c in core_list)}`.
+Regenerate: `python tools/bench_scaling.py --events {args.events} --cores {",".join(str(c) for c in core_list)}{" --pin-cpus" if args.pin_cpus else ""}`.
 """)
     print(json.dumps(summary))
     return 0
