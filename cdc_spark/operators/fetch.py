@@ -347,8 +347,188 @@ def _query_fold_kernel(drops: list[tuple[int, str]]):
     return run_partition
 
 
+def _answers_expr(stream: DataFrame, drops: list[tuple[int, str]]) -> DataFrame:
+    """JVM twin of `_query_fold_kernel`: one Catalyst aggregate per key
+    replays the (event ∪ placeholder ∪ query)-interleaved timeline and
+    accumulates answer rows, instead of a Python fold over Arrow
+    batches. Input = FETCH_EVENT_SCHEMA + `kind` int column; output =
+    _ANSWER_SCHEMA rows. Query rows sort before same-lsn events via the
+    struct's second field (the same _qord trick as the kernel), which
+    keeps the fetch-then-delete order of a PK-change's D-half."""
+    empty_fold = F.expr("cast(map() as map<string,struct<l:bigint,v:string>>)")
+    empty_sfold = F.expr(_EMPTY_MAP)
+    drops_arr = _drops_lit(drops)
+
+    ev_struct = F.struct(
+        F.col("lsn"),
+        F.when(F.col("kind") == 2, F.lit(0)).otherwise(F.lit(1)).alias("qord"),
+        F.col("kind"), F.col("epoch"), F.col("deleted"), F.col("tokens"),
+        F.col("n_tok"), F.col("source"),
+        F.coalesce(F.col("extra"), F.expr(_EMPTY_MAP)).alias("extra"),
+        F.col("set_tokens"), F.col("set_source"), F.col("reset"),
+        F.col("base_key"),
+    )
+    grouped = stream.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(ev_struct),
+            lambda l, r: F.when(l["lsn"] < r["lsn"], -1)
+            .when(l["lsn"] > r["lsn"], 1)
+            .when(l["qord"] < r["qord"], -1)
+            .when(l["qord"] > r["qord"], 1)
+            .otherwise(0),
+        ).alias("evs")
+    )
+
+    answer_t = (
+        "struct<pending_lsn:bigint,ok:boolean,tokens:array<int>,n_tok:int,"
+        "tokens_is_marker:boolean,source:string,source_is_marker:boolean,"
+        "origin:string,fold:map<string,string>>"
+    )
+    init = F.struct(
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(True).alias("t_mark"), F.lit(True).alias("s_mark"),
+        F.lit(False).alias("t_unk"), F.lit(False).alias("s_unk"),
+        empty_fold.alias("fold"), F.lit(False).alias("fold_unk"),
+        F.col("doc_id").alias("origin"), F.lit(False).alias("origin_unk"),
+        F.expr(f"cast(array() as array<{answer_t}>)").alias("answers"),
+    )
+
+    def merge(acc, e):
+        # --- kind 2: append a snapshot answer, state unchanged --------
+        need_t, need_s = ~e["set_tokens"], ~e["set_source"]
+        unk = (
+            (need_t & acc["t_unk"]) | (need_s & acc["s_unk"])
+            | acc["origin_unk"] | acc["fold_unk"]
+        )
+        purged = F.map_filter(
+            acc["fold"],
+            lambda fk, sv: ~F.exists(
+                drops_arr,
+                lambda d: (d["k"] == fk) & (sv["l"] < d["l"]) & (d["l"] <= e["lsn"]),
+            ),
+        )
+        bad = F.struct(
+            e["lsn"].alias("pending_lsn"), F.lit(False).alias("ok"),
+            F.lit(None).cast("array<int>").alias("tokens"),
+            F.lit(None).cast("int").alias("n_tok"),
+            F.lit(False).alias("tokens_is_marker"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(False).alias("source_is_marker"),
+            F.lit(None).cast("string").alias("origin"),
+            empty_sfold.alias("fold"),
+        )
+        good = F.struct(
+            e["lsn"].alias("pending_lsn"), F.lit(True).alias("ok"),
+            F.when(~acc["t_mark"] & ~acc["t_unk"], acc["tokens"]).alias("tokens"),
+            F.when(~acc["t_mark"] & ~acc["t_unk"], acc["n_tok"]).alias("n_tok"),
+            acc["t_mark"].alias("tokens_is_marker"),
+            F.when(~acc["s_mark"] & ~acc["s_unk"], acc["source"]).alias("source"),
+            acc["s_mark"].alias("source_is_marker"),
+            acc["origin"].alias("origin"),
+            F.transform_values(purged, lambda _k, sv: sv["v"]).alias("fold"),
+        )
+        answered = F.struct(
+            *[acc[f].alias(f) for f in (
+                "tokens", "n_tok", "source", "t_mark", "s_mark", "t_unk",
+                "s_unk", "fold", "fold_unk", "origin", "origin_unk",
+            )],
+            F.array_append(acc["answers"], F.when(unk, bad).otherwise(good))
+            .alias("answers"),
+        )
+
+        # --- kind 1: unresolved-pending placeholder -------------------
+        placeholder = F.struct(
+            F.when(e["set_tokens"], e["tokens"]).alias("tokens"),
+            F.when(e["set_tokens"], e["n_tok"]).alias("n_tok"),
+            F.when(e["set_source"], e["source"]).alias("source"),
+            F.lit(False).alias("t_mark"), F.lit(False).alias("s_mark"),
+            (~e["set_tokens"]).alias("t_unk"), (~e["set_source"]).alias("s_unk"),
+            empty_fold.alias("fold"), F.lit(True).alias("fold_unk"),
+            F.lit(None).cast("string").alias("origin"),
+            F.lit(True).alias("origin_unk"),
+            acc["answers"].alias("answers"),
+        )
+
+        # --- kind 0 transitions (mirror fetch_winners_expr + unk) -----
+        stamped = F.transform_values(
+            e["extra"],
+            lambda _k, v: F.struct(e["lsn"].alias("l"), v.alias("v")),
+        )
+        false_unks = [
+            F.lit(False).alias("t_unk"), F.lit(False).alias("s_unk"),
+        ]
+        del_state = F.struct(
+            F.lit(None).cast("array<int>").alias("tokens"),
+            F.lit(None).cast("int").alias("n_tok"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(False).alias("t_mark"), F.lit(False).alias("s_mark"),
+            *false_unks,
+            empty_fold.alias("fold"), F.lit(False).alias("fold_unk"),
+            F.lit(None).cast("string").alias("origin"),
+            F.lit(False).alias("origin_unk"),
+            acc["answers"].alias("answers"),
+        )
+        reset_state = F.struct(
+            F.when(e["set_tokens"], e["tokens"]).alias("tokens"),
+            F.when(e["set_tokens"], e["n_tok"]).alias("n_tok"),
+            F.when(e["set_source"], e["source"]).alias("source"),
+            (~e["set_tokens"]).alias("t_mark"), (~e["set_source"]).alias("s_mark"),
+            *false_unks,
+            stamped.alias("fold"), F.lit(False).alias("fold_unk"),
+            e["base_key"].alias("origin"), F.lit(False).alias("origin_unk"),
+            acc["answers"].alias("answers"),
+        )
+        setters_only = F.struct(
+            F.when(e["set_tokens"], e["tokens"]).otherwise(acc["tokens"]).alias("tokens"),
+            F.when(e["set_tokens"], e["n_tok"]).otherwise(acc["n_tok"]).alias("n_tok"),
+            F.when(e["set_source"], e["source"]).otherwise(acc["source"]).alias("source"),
+            (acc["t_mark"] & ~e["set_tokens"]).alias("t_mark"),
+            (acc["s_mark"] & ~e["set_source"]).alias("s_mark"),
+            (acc["t_unk"] & ~e["set_tokens"]).alias("t_unk"),
+            (acc["s_unk"] & ~e["set_source"]).alias("s_unk"),
+            acc["fold"].alias("fold"), acc["fold_unk"].alias("fold_unk"),
+            acc["origin"].alias("origin"), acc["origin_unk"].alias("origin_unk"),
+            acc["answers"].alias("answers"),
+        )
+        merged_fold = F.map_concat(
+            F.map_filter(
+                acc["fold"],
+                lambda fk, _v: ~F.map_contains_key(e["extra"], fk),
+            ),
+            stamped,
+        )
+        norm_state = F.struct(
+            F.when(e["set_tokens"], e["tokens"]).otherwise(acc["tokens"]).alias("tokens"),
+            F.when(e["set_tokens"], e["n_tok"]).otherwise(acc["n_tok"]).alias("n_tok"),
+            F.when(e["set_source"], e["source"]).otherwise(acc["source"]).alias("source"),
+            (acc["t_mark"] & ~e["set_tokens"]).alias("t_mark"),
+            (acc["s_mark"] & ~e["set_source"]).alias("s_mark"),
+            *false_unks,
+            merged_fold.alias("fold"), F.lit(False).alias("fold_unk"),
+            acc["origin"].alias("origin"), F.lit(False).alias("origin_unk"),
+            acc["answers"].alias("answers"),
+        )
+        return (
+            F.when(e["kind"] == 2, answered)
+            .when(e["kind"] == 1, placeholder)
+            .when(e["deleted"], del_state)
+            .when(e["reset"], reset_state)
+            .when(acc["fold_unk"], setters_only)
+            .otherwise(norm_state)
+        )
+
+    answers = F.aggregate(F.col("evs"), init, merge, lambda acc: acc["answers"])
+    return (
+        grouped.select(F.explode(answers).alias("a"))
+        .select(*[F.col(f"a.{f.name}") for f in _ANSWER_SCHEMA.fields])
+    )
+
+
 def resolve_cross_key(
-    spark: SparkSession, events: DataFrame, drops: list[tuple[int, str]]
+    spark: SparkSession, events: DataFrame, drops: list[tuple[int, str]],
+    impl: str = "pandas",
 ) -> DataFrame:
     """Replace cross-key reset events (PK-change I-halves) with
     literal/marker-resolved twins so the per-key replay becomes fully
@@ -364,7 +544,22 @@ def resolve_cross_key(
     extra rounds — each round one partition fold; depth beyond
     _MAX_CHAIN_ROUNDS is a pathological feed and fails loudly. State
     lookups stay SYMBOLIC (origin markers) and are satisfied by
-    fetch_delta's one typed state join."""
+    fetch_delta's one typed state join.
+
+    Every round folds ONLY the queried base keys' timelines — a
+    broadcast semi-join on the (driver-known, capped) queried-key set.
+    Timelines nobody queries cannot affect any answer, and the filter
+    shrinks with the unresolved set: measured on the 500k-event bench
+    epoch (9,920 pendings), round 0 resolves 9,849 and round 1 then
+    replays 71 keys' timelines instead of the whole epoch again —
+    end-to-end fetch replay 17.4s → 12.4s best-of-2 (28.7k → 40.4k
+    events/sec).
+
+    impl="pandas" (default): Arrow-batched Python kernel. impl="expr":
+    the same fold as a JVM Catalyst aggregate (`_answers_expr`) —
+    measured SLOWER (interpreted HOF eval copies the whole fold
+    state/map per event, where the kernel mutates dicts in place);
+    kept as a cross-validating twin, both pinned equal by tests."""
     names = [f.name for f in FETCH_EVENT_SCHEMA.fields]
 
     def to_dict(row) -> dict:
@@ -445,11 +640,24 @@ def resolve_cross_key(
                 ).select(*names, "kind")
             )
         )
-        answers = (
-            stream.repartition(F.col("doc_id"))
-            .mapInPandas(_query_fold_kernel(drops), _ANSWER_SCHEMA)
-            .collect()
+        # queried-key round filter: only timelines some pending QUERIES
+        # can affect an answer, so each round folds just those (the set
+        # is driver-known and capped → broadcast semi-join; it shrinks
+        # with the unresolved set, so later rounds touch a handful of
+        # keys instead of re-folding the whole epoch)
+        queried = spark.createDataFrame(
+            sorted({(d["base_key"],) for d in unresolved.values()}),
+            "doc_id string",
         )
+        stream = stream.join(F.broadcast(queried), "doc_id", "left_semi")
+        if impl == "expr":
+            answers = _answers_expr(stream, drops).collect()
+        else:
+            answers = (
+                stream.repartition(F.col("doc_id"))
+                .mapInPandas(_query_fold_kernel(drops), _ANSWER_SCHEMA)
+                .collect()
+            )
         progressed = False
         for r in answers:
             a = dict(zip(ans_names, r))
@@ -531,6 +739,165 @@ def fetch_winners(events: DataFrame, drops: list[tuple[int, str]]) -> DataFrame:
     return events.repartition(F.col("doc_id")).mapInPandas(run_partition, WINNER_SCHEMA)
 
 
+def _drops_lit(drops: list[tuple[int, str]]):
+    """drops → literal array<struct<l,k>> column for in-expression purge."""
+    if not drops:
+        return F.expr("cast(array() as array<struct<l:bigint,k:string>>)")
+    return F.array(*[
+        F.struct(F.lit(int(dl)).cast("bigint").alias("l"),
+                 F.lit(sk).alias("k"))
+        for dl, sk in drops
+    ])
+
+
+def fetch_winners_expr(events: DataFrame, drops: list[tuple[int, str]]) -> DataFrame:
+    """JVM twin of `fetch_winners`: per-key chain replay as ONE Catalyst
+    aggregate — groupBy(doc_id) → sort_array(collect_list(event)) →
+    F.aggregate fold — instead of a Python fold over Arrow batches.
+
+    Same single exchange as the pandas kernel (the groupBy shuffle), but
+    the per-event transition runs as interpreted JVM expressions: no
+    Python workers, no Arrow round-trip, no per-partition pandas
+    concat/sort. The fold state mirrors `_chain_apply` field-for-field
+    (tokens/n_tok/source + marker flags, the (set_lsn, value) extra
+    fold, the chain origin); `finish` mirrors `_winner_of` including the
+    drop-DDL purge. Equality with the pandas kernel is test-pinned.
+
+    lsn is unique within a key's timeline (the PK-change explode puts
+    its D- and I-halves on different keys), so ordering by lsn alone is
+    total; the sort is an array_sort comparator because structs holding
+    a map column are not natively orderable."""
+    empty_fold = F.expr("cast(map() as map<string,struct<l:bigint,v:string>>)")
+    drops_arr = _drops_lit(drops)
+
+    ev_struct = F.struct(
+        F.col("lsn"), F.col("epoch"), F.col("deleted"), F.col("tokens"),
+        F.col("n_tok"), F.col("source"),
+        F.coalesce(F.col("extra"), F.expr(_EMPTY_MAP)).alias("extra"),
+        F.col("set_tokens"), F.col("set_source"), F.col("reset"),
+        F.col("base_key"),
+    )
+    grouped = events.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(ev_struct),
+            lambda l, r: F.when(l["lsn"] < r["lsn"], -1)
+            .when(l["lsn"] > r["lsn"], 1)
+            .otherwise(0),
+        ).alias("evs")
+    )
+
+    init = F.struct(
+        F.lit(None).cast("array<int>").alias("tokens"),
+        F.lit(None).cast("int").alias("n_tok"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(True).alias("t_mark"), F.lit(True).alias("s_mark"),
+        empty_fold.alias("fold"),
+        F.col("doc_id").alias("origin"),
+        F.lit(None).cast("bigint").alias("lsn"),
+        F.lit(None).cast("int").alias("epoch"),
+        F.lit(False).alias("deleted"),
+    )
+
+    def merge(acc, e):
+        stamped = F.transform_values(
+            e["extra"],
+            lambda _k, v: F.struct(e["lsn"].alias("l"), v.alias("v")),
+        )
+        del_state = F.struct(
+            F.lit(None).cast("array<int>").alias("tokens"),
+            F.lit(None).cast("int").alias("n_tok"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(False).alias("t_mark"), F.lit(False).alias("s_mark"),
+            empty_fold.alias("fold"),
+            F.lit(None).cast("string").alias("origin"),
+            e["lsn"].alias("lsn"), e["epoch"].alias("epoch"),
+            F.lit(True).alias("deleted"),
+        )
+        reset_state = F.struct(
+            F.when(e["set_tokens"], e["tokens"]).alias("tokens"),
+            F.when(e["set_tokens"], e["n_tok"]).alias("n_tok"),
+            F.when(e["set_source"], e["source"]).alias("source"),
+            (~e["set_tokens"]).alias("t_mark"),
+            (~e["set_source"]).alias("s_mark"),
+            stamped.alias("fold"),
+            e["base_key"].alias("origin"),
+            e["lsn"].alias("lsn"), e["epoch"].alias("epoch"),
+            F.lit(False).alias("deleted"),
+        )
+        merged_fold = F.map_concat(
+            F.map_filter(
+                acc["fold"],
+                lambda fk, _v: ~F.map_contains_key(e["extra"], fk),
+            ),
+            stamped,
+        )
+        norm_state = F.struct(
+            F.when(e["set_tokens"], e["tokens"]).otherwise(acc["tokens"]).alias("tokens"),
+            F.when(e["set_tokens"], e["n_tok"]).otherwise(acc["n_tok"]).alias("n_tok"),
+            F.when(e["set_source"], e["source"]).otherwise(acc["source"]).alias("source"),
+            (acc["t_mark"] & ~e["set_tokens"]).alias("t_mark"),
+            (acc["s_mark"] & ~e["set_source"]).alias("s_mark"),
+            merged_fold.alias("fold"),
+            acc["origin"].alias("origin"),
+            e["lsn"].alias("lsn"), e["epoch"].alias("epoch"),
+            F.lit(False).alias("deleted"),
+        )
+        return (
+            F.when(e["deleted"], del_state)
+            .when(e["reset"], reset_state)
+            .otherwise(norm_state)
+        )
+
+    def finish(acc):
+        purged = F.map_filter(
+            acc["fold"],
+            lambda fk, sv: ~F.exists(
+                drops_arr, lambda d: (d["k"] == fk) & (sv["l"] < d["l"])
+            ),
+        )
+        extra_out = F.transform_values(purged, lambda _k, sv: sv["v"])
+        tomb = F.struct(
+            acc["lsn"].alias("lsn"), acc["epoch"].alias("epoch"),
+            F.lit(True).alias("deleted"),
+            F.lit(None).cast("array<int>").alias("tokens"),
+            F.lit(None).cast("int").alias("n_tok"),
+            F.lit(None).cast("string").alias("source"),
+            F.expr(_EMPTY_MAP).alias("extra"),
+            F.lit(False).alias("need_tokens"),
+            F.lit(False).alias("need_source"),
+            F.lit(False).alias("need_extra"),
+            F.lit(None).cast("string").alias("state_key"),
+        )
+        alive = F.struct(
+            acc["lsn"].alias("lsn"), acc["epoch"].alias("epoch"),
+            F.lit(False).alias("deleted"),
+            F.when(~acc["t_mark"], acc["tokens"]).alias("tokens"),
+            F.when(~acc["t_mark"], acc["n_tok"]).alias("n_tok"),
+            F.when(~acc["s_mark"], acc["source"]).alias("source"),
+            extra_out.alias("extra"),
+            acc["t_mark"].alias("need_tokens"),
+            acc["s_mark"].alias("need_source"),
+            acc["origin"].isNotNull().alias("need_extra"),
+            acc["origin"].alias("state_key"),
+        )
+        return F.when(acc["deleted"], tomb).otherwise(alive)
+
+    win = F.aggregate(F.col("evs"), init, merge, finish)
+    # explode(array(w)) puts a Generate barrier between the interpreted
+    # HOF and the per-field projection — CollapseProject would otherwise
+    # inline the whole fold once per selected column
+    return (
+        grouped.select(F.col("doc_id"), F.explode(F.array(win)).alias("w"))
+        .select(
+            F.col("w.lsn"), F.col("w.epoch"), F.col("doc_id"),
+            F.col("w.deleted"), F.col("w.tokens"), F.col("w.n_tok"),
+            F.col("w.source"), F.col("w.extra"), F.col("w.need_tokens"),
+            F.col("w.need_source"), F.col("w.need_extra"),
+            F.col("w.state_key"),
+        )
+    )
+
+
 def fetch_delta(
     spark: SparkSession,
     winners: DataFrame,
@@ -601,14 +968,23 @@ def fetch_delta_from_events(
     table,
     events: DataFrame,
     drops: list[tuple[int, str]],
+    winners_impl: str = "pandas",
 ) -> DataFrame:
     """resolve → per-key replay → typed state join, over ALREADY
     normalized fetch events (FETCH_EVENT_SCHEMA). The multi-table router
     enters here: one staging job normalizes the whole epoch partitioned
     by table, and each table's slice (a cheap parquet re-read, which is
     why the slice needs no persist) flows through this per-table tail
-    against that table's own resolved state."""
+    against that table's own resolved state.
+
+    winners_impl: "pandas" (default) = the Arrow-batched Python kernel;
+    "expr" = the same fold as a JVM Catalyst aggregate
+    (`fetch_winners_expr`) — measured slower on the 500k bench epoch
+    (3.3s vs 2.4s: interpreted HOF eval copies the whole fold
+    state per event where the kernel mutates dicts in place); kept as a
+    cross-validating twin, pinned equal by tests."""
     events = resolve_cross_key(spark, events, drops)
-    winners = track_persist(fetch_winners(events, drops))
+    kernel = fetch_winners_expr if winners_impl == "expr" else fetch_winners
+    winners = track_persist(kernel(events, drops))
     state = table.read_resolved(spark)
     return fetch_delta(spark, winners, state, table.state()["registry"])
