@@ -371,6 +371,30 @@ def _q_dup_clusters(spark, sf):
     return dup_clusters(docs.select("doc_id"), pairs)
 
 
+def _q_dup_clusters_inc(spark, sf):
+    """Incremental near-dup cluster maintenance (the CDC × dedup op):
+    the corpus is split deterministically into an existing part C and an
+    append delta Δ (pmod(doc_id,7)=3 — originals and their +1M variants
+    land on DIFFERENT sides, so real Δ×C edges exist); C is clustered
+    once, then Δ arrives and only Δ's signatures, Δ-touching candidate
+    pairs, and the contracted delta-scale graph are computed. The oracle
+    is the FULL-corpus recursive-CTE clustering — passing means the
+    incremental path is exactly split-invariant."""
+    from cdc_spark.caching import track_persist
+    from cdc_spark.functions.dedup import (
+        band_index, dup_clusters, dup_clusters_incremental, pairs_from_index,
+    )
+
+    docs = _docs_with_variants(spark, sf)
+    is_delta = F.pmod(F.col("doc_id"), F.lit(7)) == F.lit(3)
+    base, delta = docs.filter(~is_delta), docs.filter(is_delta)
+    base_idx = track_persist(band_index(base))
+    prev = dup_clusters(
+        base.select("doc_id"), pairs_from_index(base_idx, base_idx)
+    )
+    return dup_clusters_incremental(prev, base_idx, band_index(delta))
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic content-keyed stratified sampling per source —
     rerun/partitioning-invariant (unlike seeded df.sample), exact SQL
@@ -824,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fp": _q_rolling_fp,
         "doc_bpe_tokens": _q_bpe_tokens,
         "doc_dup_clusters": _q_dup_clusters,
+        "doc_dup_clusters_inc": _q_dup_clusters_inc,
         "corpus_stratified_sample": _q_stratified_sample,
         "emb_l2_norm": _q_emb_norm,
         "emb_cosine_topk": _q_emb_topk,
@@ -978,6 +1003,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_minhash_dedup": _sql_minhash_pairs_over_variants(),
         "doc_dup_clusters": _sql_dup_clusters_over_variants(),
+        # the incremental path must land on the same clusters as a full
+        # re-cluster: same oracle, split-invariance IS the check
+        "doc_dup_clusters_inc": _sql_dup_clusters_over_variants(),
         "corpus_stratified_sample": _sql_stratified_sample_docs(),
         "doc_simhash": sql_simhash_query(),
         "doc_ngram_jaccard": _sql_jaccard_over_variants(),

@@ -438,6 +438,122 @@ def dup_clusters(
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_rep"))
 
 
+def band_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k_shingle: int = 3, n_hashes: int = 16, bands: int = 4,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: one (id, band_idx, bucket)
+    row per doc per band. Written once as a parquet table, it is what
+    makes near-dup maintenance INCREMENTAL — new docs probe the index
+    with an equi-join instead of re-hashing the whole corpus."""
+    m = with_minhash(df, text_col, id_col, k_shingle, n_hashes, bands)
+    return m.select(id_col, F.posexplode("band").alias("band_idx", "bucket"))
+
+
+def pairs_from_index(
+    left: DataFrame, right: DataFrame, id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct candidate pairs between two band indexes (same-bucket,
+    same-band). With left == right this is the full within-corpus
+    candidate set; with left = a delta index it is the delta-touching
+    set only. Directed output (id_a from `left`); callers treating
+    edges as undirected need no dedup beyond `distinct`."""
+    a, b = left.alias("a"), right.alias("b")
+    return (
+        a.join(b.hint("shuffle_hash"), on=["band_idx", "bucket"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+#: above this many distinct prev-corpus endpoints in the delta's
+#: candidate set, the remap joins fall back from broadcast to shuffle
+_INC_BROADCAST_CAP = 2_000_000
+
+
+def dup_clusters_incremental(
+    prev_labels: DataFrame,
+    base_index: DataFrame,
+    delta_index: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Maintain near-dup clusters under an APPEND-ONLY change feed
+    without re-clustering the corpus — the incremental twin of
+    `dup_clusters`, and the op a CDC-fed training corpus actually runs
+    every epoch.
+
+    Inputs: `prev_labels` (doc_id, cluster_rep) over the existing corpus
+    C (reps are min member ids, i.e. `dup_clusters` output),
+    `base_index` = C's persisted `band_index`, `delta_index` = the new
+    docs Δ's band rows. Docs in Δ must be new ids (append-only; a
+    changed doc can SPLIT a cluster, which needs decremental
+    connectivity — re-cluster the affected components instead).
+
+    Exactness: connectivity over (C×C ∪ Δ-touching pairs) equals full
+    reclustering because prev_labels encodes C×C connectivity exactly
+    and contracting a component to its representative preserves
+    reachability; reps are min member ids, so min-label over the
+    contracted graph yields the same representatives the full run
+    picks. Pinned by tests and by the driver oracle (the incremental
+    contract entry's oracle is the full-corpus recursive-CTE — the
+    result must be split-invariant).
+
+    Scale shape: Δ's signatures are the only new hashing (O(|Δ|));
+    candidates come from Δ-index ⋈ (base ∪ Δ) index — an equi-join that
+    touches only delta-sharing buckets; min-label propagation runs on
+    the CONTRACTED graph (Δ ids + touched reps, delta-scale); and the
+    big prev_labels table is only read through one broadcast semi-join
+    + one broadcast left join (zero exchanges of the corpus — it
+    streams twice, shuffles never). A delta touching more than
+    `_INC_BROADCAST_CAP` distinct prev docs degrades the remap joins to
+    shuffles instead of over-broadcasting."""
+    d = track_persist(delta_index)
+    cand = track_persist(
+        pairs_from_index(d, base_index.unionByName(d), id_col=id_col)
+    )
+    pl = prev_labels.select(
+        F.col(id_col).alias("_n"), F.col("cluster_rep").alias("_r")
+    )
+    c_ends = cand.select(F.col("id_b").alias("_n")).distinct()
+    small_enough = c_ends.count() <= _INC_BROADCAST_CAP
+    bc = F.broadcast if small_enough else (lambda x: x)
+
+    # contract prev-corpus endpoints to their component representative
+    # (id_a is always a Δ id — never in prev)
+    touched = track_persist(pl.join(bc(c_ends), "_n", "left_semi"))
+    edges = cand.join(
+        bc(touched), cand["id_b"] == touched["_n"], "left"
+    ).select("id_a", F.coalesce("_r", "id_b").alias("id_b"))
+
+    nodes = (
+        d.select(id_col)
+        .unionByName(edges.select(F.col("id_a").alias(id_col)))
+        .unionByName(edges.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    small = track_persist(dup_clusters(nodes, edges, id_col=id_col, max_iters=max_iters))
+
+    # relabel: Δ docs take their small-graph label directly; prev docs
+    # relabel only if their rep's component merged (broadcast remap —
+    # the corpus-sized side never shuffles)
+    delta_labels = small.join(bc(d.select(id_col).distinct()), id_col, "left_semi")
+    remap = small.join(
+        bc(touched.select(F.col("_r").alias(id_col)).distinct()), id_col, "left_semi"
+    ).select(F.col(id_col).alias("_rep"), F.col("cluster_rep").alias("_new"))
+    carried = prev_labels.join(
+        bc(remap), prev_labels["cluster_rep"] == remap["_rep"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("_new", "cluster_rep").alias("cluster_rep"),
+    )
+    return carried.unionByName(delta_labels)
+
+
 def sql_dup_clusters(pairs_sql: str, nodes_sql: str, id_col: str = "doc_id") -> str:
     """DuckDB twin of `dup_clusters`: recursive reachability → min
     reachable id per node. `pairs_sql` must yield (id_a, id_b);
