@@ -196,9 +196,11 @@ def test_dup_clusters_incremental_hand_built(spark):
     assert inc[70] == 70 and inc[40] == 40
 
 
-def test_dup_clusters_incremental_minhash_end_to_end(spark):
+def test_dup_clusters_incremental_minhash_end_to_end(spark, tmp_path):
     """Real minhash indexes: corpus split into base/delta, incremental
-    maintenance must land on exactly the clusters of a full re-run."""
+    maintenance must land on exactly the clusters of a full re-run —
+    with the base index round-tripped through parquet (the warehouse
+    shape: the index is a persisted table, not a recomputation)."""
     from cdc_spark.caching import release_persisted
     from cdc_spark.functions.dedup import (
         band_index, dup_clusters, dup_clusters_incremental, pairs_from_index,
@@ -214,7 +216,8 @@ def test_dup_clusters_incremental_minhash_end_to_end(spark):
     is_delta = F.pmod(F.col("doc_id"), F.lit(7)) == F.lit(3)
     base, delta = docs.filter(~is_delta), docs.filter(is_delta)
 
-    base_idx = band_index(base)
+    band_index(base).write.parquet(str(tmp_path / "band_index"))
+    base_idx = spark.read.parquet(str(tmp_path / "band_index"))
     prev = dup_clusters(base.select("doc_id"),
                         pairs_from_index(base_idx, base_idx))
     inc = {r["doc_id"]: r["cluster_rep"] for r in
@@ -227,6 +230,29 @@ def test_dup_clusters_incremental_minhash_end_to_end(spark):
     release_persisted()
     assert inc == full
     assert len(inc) == 60
+
+
+def test_dup_clusters_incremental_fallback_above_cap(spark, monkeypatch):
+    """A delta touching more prev docs than the broadcast cap must take
+    the shuffle-join fallback and still produce identical clusters."""
+    import cdc_spark.functions.dedup as dd
+    from cdc_spark.caching import release_persisted
+
+    monkeypatch.setattr(dd, "_INC_BROADCAST_CAP", 0)
+    base_idx = spark.createDataFrame(
+        [(10, 0, 100), (11, 0, 100), (20, 0, 200), (21, 0, 200)],
+        "doc_id long, band_idx int, bucket long",
+    )
+    delta_idx = spark.createDataFrame(
+        [(90, 0, 100), (90, 0, 200), (5, 0, 300)],
+        "doc_id long, band_idx int, bucket long",
+    )
+    prev = dd.dup_clusters(base_idx.select("doc_id").distinct(),
+                           dd.pairs_from_index(base_idx, base_idx))
+    inc = {r["doc_id"]: r["cluster_rep"] for r in
+           dd.dup_clusters_incremental(prev, base_idx, delta_idx).collect()}
+    release_persisted()
+    assert inc == {10: 10, 11: 10, 20: 10, 21: 10, 90: 10, 5: 5}
 
 
 def test_dup_clusters_incremental_corpus_never_shuffles(spark):
