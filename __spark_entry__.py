@@ -791,26 +791,33 @@ def _q_multi_table_fetch_replay(spark, sf):
 
 def _q_image_fetch_join(spark, sf):
     """S2's image-fetch join shape on the events table: change KEYS from
-    the tail range RIGHT-OUTER-join the LWW base image built from the
-    head range (reference: CHANGETABLE keys ⋈ base table,
-    CTInputDStream.java:112-131). The base streams; the (small) change
-    set broadcasts — the plan that survives a 100-TB base."""
+    the tail range fetch the LWW base image built from the head range
+    (reference: CHANGETABLE keys RIGHT-OUTER-⋈ base table,
+    CTInputDStream.java:112-131). Scale shape: the (small) change-key
+    set broadcast-semi-filters the base scan BEFORE any aggregation —
+    the 100-TB base never fully aggregates and never shuffles; work is
+    O(changed keys). The outer join preserves every change key (the
+    reference's RIGHT OUTER), expressed as change-side LEFT join so the
+    small side streams and the fetched images broadcast."""
+    from cdc_spark.caching import track_persist
+
     ev = _load(spark, sf, "events")
-    base = (
-        ev.filter(F.col("event_id") <= 7000)
-        .groupBy("user_id")
-        .agg(F.max_by(F.struct("event_id", "value"), F.col("event_id")).alias("r"))
-        .select("user_id", F.col("r.event_id").alias("base_event_id"),
-                F.col("r.value").alias("base_value"))
-    )
-    chg = (
+    chg = track_persist(
         ev.filter(F.col("event_id") > 7000)
         .groupBy("user_id")
         .agg(F.max_by(F.struct("event_id", "event_type"), F.col("event_id")).alias("r"))
         .select("user_id", F.col("r.event_id").alias("change_event_id"),
                 F.col("r.event_type").alias("change_type"))
     )
-    return base.join(F.broadcast(chg), "user_id", "right_outer").select(
+    base = (
+        ev.filter(F.col("event_id") <= 7000)
+        .join(F.broadcast(chg.select("user_id")), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("event_id", "value"), F.col("event_id")).alias("r"))
+        .select("user_id", F.col("r.event_id").alias("base_event_id"),
+                F.col("r.value").alias("base_value"))
+    )
+    return chg.join(F.broadcast(base), "user_id", "left").select(
         "user_id", "change_event_id", "change_type", "base_event_id", "base_value"
     )
 

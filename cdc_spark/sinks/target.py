@@ -181,6 +181,26 @@ class TargetTable:
         with open(os.path.join(self.journal_dir, f"v{vs[-1]:08d}.json")) as f:
             return json.load(f)
 
+    def registry_before_ddl(self, ddl_id: str) -> list[dict]:
+        """Registry as of just BEFORE `ddl_id` was applied (journal
+        version walk). DDL-dependent captures need this to be
+        redelivery-safe: fetch-mode drop purging reads the dropped
+        column's source_key, but after a crash between the drop's
+        journal commit and the epoch's delta commit, the LIVE registry
+        has already removed the mapping — the prior journal entry still
+        carries it. Cost: O(1) reads in the common case (the DDL is in
+        the latest entries); the walk only runs for already-applied
+        ddl_ids."""
+        st = self.state()
+        if ddl_id not in st.get("applied_ddl", []):
+            return st["registry"]
+        for v in reversed(self._versions()[:-1]):
+            with open(os.path.join(self.journal_dir, f"v{v:08d}.json")) as f:
+                e = json.load(f)
+            if ddl_id not in e.get("applied_ddl", []):
+                return e["registry"]
+        return []
+
     def _commit(self, entry: dict) -> dict:
         """Atomic commit point: write tmp + rename (POSIX atomic)."""
         entry["snapshot_id"] = uuid.uuid4().hex[:16]

@@ -181,12 +181,18 @@ def apply_batch(
             # fetch folds accumulate extra values across the epoch; a
             # drop must purge values set before it from the fold (the
             # oracle purges its state the same way) — capture the
-            # column's source_key from the registry BEFORE the drop
+            # column's source_key from the registry BEFORE the drop.
+            # registry_before_ddl (not the live registry): on a crash-
+            # recovery redelivery the drop's journal commit already
+            # removed the mapping, and a same-epoch re-add would then
+            # leak pre-drop values without the purge
             from cdc_spark.sinks.target import norm_registry
 
             name = json.loads(r["ddl_payload"])["name"]
-            hit = [c for c in norm_registry(table.state()["registry"])
-                   if c["target"] == name]
+            reg_b = norm_registry(
+                table.registry_before_ddl(f"{epoch}:{r['lsn']}")
+            )
+            hit = [c for c in reg_b if c["target"] == name]
             if hit:
                 drops.append((r["lsn"], hit[0]["source_key"]))
         table.apply_ddl(spark, r["ddl_kind"], r["ddl_payload"], ddl_id=f"{epoch}:{r['lsn']}")
@@ -440,12 +446,15 @@ def apply_batch_multi(
         if images == "fetch" and r["ddl_kind"] == "drop_column":
             # capture the dropped column's source_key BEFORE the drop
             # mutates the registry — fetch folds must purge values set
-            # before the drop (same as apply_batch's single-table path)
+            # before the drop (same as apply_batch's single-table path,
+            # incl. its redelivery-safe journal walk)
             from cdc_spark.sinks.target import norm_registry
 
             name = json.loads(r["ddl_payload"])["name"]
-            hit = [c for c in norm_registry(t.state()["registry"])
-                   if c["target"] == name]
+            reg_b = norm_registry(
+                t.registry_before_ddl(f"{epoch}:{r['lsn']}")
+            )
+            hit = [c for c in reg_b if c["target"] == name]
             if hit:
                 drops_by_table.setdefault(r["table"], []).append(
                     (r["lsn"], hit[0]["source_key"])

@@ -234,3 +234,50 @@ def test_fetch_pending_base_key_with_no_inepoch_events(spark, workdir):
     assert list(rows["B"]["tokens"]) == [1, 2, 3]  # fetched from A's state
     assert rows["B"]["source"] == "web"
     _assert_fetch_matches_oracle(spark, table, d)
+
+
+def test_fetch_redelivery_after_ddl_commit_still_purges_drops(spark, workdir):
+    """Crash-recovery pin: a crash between a drop_column's journal
+    commit and the epoch's delta commit redelivers the epoch with the
+    DDL already folded into the live registry. The drop-purge capture
+    must read the registry as of BEFORE the drop (registry_before_ddl's
+    journal walk), not the live one: when a same-epoch rename takes the
+    freed name, the live registry maps the dropped name to the RENAMED
+    column's source_key, and the purge then kills that surviving
+    column's pre-drop values instead of the dropped one's."""
+    import pyspark.sql.functions as F
+
+    from cdc_spark.sinks.target import TargetTable
+    from cdc_spark.sources.binlog import list_segments, read_changes
+
+    cfg = GenConfig(
+        n_events=4000, n_docs=200, events_per_epoch=2000, seed=13,
+        p_extra_value=0.7,
+        ddl_schedule=(
+            (0.10, "add_column", {"name": "keepme", "type": "int"}),
+            (0.12, "add_column", {"name": "tmp", "type": "int"}),
+            (0.60, "drop_column", {"name": "tmp"}),
+            (0.62, "rename_column", {"from": "keepme", "to": "tmp"}),
+        ),
+    )
+    d = f"{workdir}/binlog_keys_crash"
+    write_binlog_keys(cfg, d)
+    root = f"{workdir}/t_fetch_crash"
+    # epoch 0 applies normally; then the simulated crash: epoch 1's DDLs
+    # journal-commit but its delta never does
+    replay(spark, d, root, images="fetch", stop_after=1, lineage=False)
+    table = TargetTable(root)
+    segs = list_segments(d)
+    batch = read_changes(spark, segs[1])
+    ddls = sorted(
+        batch.filter(F.col("op_type") == "DDL")
+        .select("lsn", "epoch", "ddl_kind", "ddl_payload").collect(),
+        key=lambda r: r["lsn"],
+    )
+    assert [r["ddl_kind"] for r in ddls] == ["drop_column", "rename_column"]
+    for r in ddls:
+        table.apply_ddl(spark, r["ddl_kind"], r["ddl_payload"],
+                        ddl_id=f"{r['epoch']}:{r['lsn']}")
+    assert not table.has_epoch(1)  # delta uncommitted: epoch redelivers
+    replay(spark, d, root, images="fetch", lineage=False)
+    _assert_fetch_matches_oracle(spark, table, d)

@@ -136,3 +136,33 @@ def test_bootstrap_then_incremental_replay(spark, workdir, small_binlog):
     assert set(actual) == set(expected) | {
         d for d, *_ in seed_rows if d not in touched
     }
+
+
+def test_registry_before_ddl_walks_versions(spark, tmp_path):
+    """registry_before_ddl returns the registry as of just before the
+    given ddl_id's journal commit (redelivery-safe DDL captures):
+    unapplied ids see the live registry; applied ids see their
+    predecessor entry, including mid-epoch sequences where a rename
+    takes a freed name."""
+    import json
+
+    t = TargetTable(str(tmp_path / "t"))
+    t.create_if_absent()
+    t.apply_ddl(spark, "add_column", json.dumps({"name": "a", "type": "int"}), "0:10")
+    t.apply_ddl(spark, "add_column", json.dumps({"name": "b", "type": "int"}), "0:20")
+    # unapplied id → live registry
+    live = {c["target"] for c in t.registry_before_ddl("1:99")}
+    assert live == {"a", "b"}
+    t.apply_ddl(spark, "drop_column", json.dumps({"name": "b"}), "1:30")
+    t.apply_ddl(spark, "rename_column", json.dumps({"from": "a", "to": "b"}), "1:40")
+    # before the drop: both mappings, b still keyed by source b
+    before_drop = t.registry_before_ddl("1:30")
+    assert {(c["target"], c["source_key"]) for c in before_drop} == {
+        ("a", "a"), ("b", "b")
+    }
+    # before the rename: the drop has landed, a not yet renamed
+    before_rename = t.registry_before_ddl("1:40")
+    assert {(c["target"], c["source_key"]) for c in before_rename} == {("a", "a")}
+    # live registry after both: the renamed column holds the freed name
+    assert {(c["target"], c["source_key"]) for c in t.state()["registry"]
+            if c["target"] == "b"} == {("b", "a")}

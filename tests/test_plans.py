@@ -84,6 +84,24 @@ def test_enrich_join_broadcasts_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_image_fetch_join_streams_base(spark):
+    """The CT image-fetch shape must keep the base side cheap: the
+    change-key set broadcast-SEMI-filters the base scan before any
+    aggregate (a full-base aggregate would shuffle 100 TB), and the
+    outer image join is itself a broadcast — no SortMergeJoin
+    anywhere."""
+    import __spark_entry__ as em
+    from cdc_spark.caching import release_persisted
+    from cdc_spark.plans.inspect import formatted_plan
+
+    q = em.queries()["cdc_image_fetch_join"](spark, "/root/testdata/sf0.001")
+    plan = formatted_plan(q)
+    release_persisted()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan and ("LeftOuter" in plan or "BuildRight" in plan)
+
+
 def test_no_cartesian_in_any_contract_query(spark):
     """No queries() plan may contain a CartesianProduct or
     BroadcastNestedLoopJoin — the one cartesian of round 1
