@@ -107,20 +107,28 @@ def test_no_cartesian_in_any_contract_query(spark):
     BroadcastNestedLoopJoin — the one cartesian of round 1
     (emb_near_dup_exact) is now grid-blocked into equi-joins.
 
-    cdc_replay_final_state / cdc_streaming_source_stats are excluded:
-    building their DataFrame RUNS the engine (replay / streaming query)
-    whose plans are pinned by their own tests; the returned frame is a
-    small post-hoc result."""
+    The engine-drive entries (replay / streaming / multi-table / fetch
+    variants) are excluded: building their DataFrame RUNS the whole
+    engine, whose plans are pinned by their own tests; the returned
+    frame is a small localCheckpoint'd post-hoc result with a trivial
+    plan — scanning it here costs 1-2 min of replay per entry for zero
+    coverage."""
     import __spark_entry__ as em
+    from cdc_spark.caching import release_persisted
     from cdc_spark.plans.inspect import formatted_plan
 
-    skip = {"cdc_replay_final_state", "cdc_streaming_source_stats"}
+    skip = {
+        "cdc_replay_final_state", "cdc_streaming_source_stats",
+        "cdc_fetch_replay_final_state", "cdc_multi_table_replay",
+        "cdc_multi_table_fetch_replay",
+    }
     for name, fn in em.queries().items():
         if name in skip:
             continue
         plan = formatted_plan(fn(spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    release_persisted()
 
 
 def test_exact_pairs_grid_join_shape(spark):
