@@ -77,13 +77,19 @@ def lww_dedupe(
         salted = df.withColumn("_salt", salt).repartition(
             *[F.col(k) for k in keys], F.col("_salt")
         )
-        w1 = Window.partitionBy(*keys, "_salt").orderBy(F.col(order).desc())
+        # same (order, deleted) total ordering as agg/window — ties are
+        # impossible in valid feeds, but all three modes stay pinned
+        # equal even on degenerate input
+        order_cols = [F.col(order).desc()]
+        if "deleted" in cols:
+            order_cols.append(F.col("deleted").desc())
+        w1 = Window.partitionBy(*keys, "_salt").orderBy(*order_cols)
         partial = (
             salted.withColumn("_rn", F.row_number().over(w1))
             .filter(F.col("_rn") == 1)
             .drop("_rn", "_salt")
         )
-        w2 = Window.partitionBy(*keys).orderBy(F.col(order).desc())
+        w2 = Window.partitionBy(*keys).orderBy(*order_cols)
         return (
             partial.withColumn("_rn", F.row_number().over(w2))
             .filter(F.col("_rn") == 1)
