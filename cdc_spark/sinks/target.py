@@ -14,6 +14,7 @@ map 1:1 to Iceberg operations:
 | compact()                     | rewrite_data_files (dirty partitions only)|
 | apply_ddl (all four kinds)    | ALTER TABLE — metadata-only, like Iceberg |
 | registry `phys` ids           | Iceberg field IDs (name-independent)      |
+| _prune_journal (at compact)   | expireSnapshots (bounded metadata growth) |
 
 The reference has none of this: offsets live in driver memory
 (CTInputDStream.java:60-62,96-97 — restart rereads from 0) and sinks are
@@ -117,11 +118,19 @@ class TargetTable:
         compact_every: int = 16,
         buckets: int = 32,
         resolve_join_max_bytes: int = 64 << 20,
+        journal_keep: int = 64,
     ):
         self.path = path
         self.journal_dir = os.path.join(path, "_journal")
         self.compact_every = compact_every
         self.buckets = buckets
+        #: journal versions retained past compaction (Iceberg
+        #: expireSnapshots analogue). Without retention the journal dir
+        #: grows one file per commit FOREVER and `state()` lists it every
+        #: micro-batch — O(commits) driver cost at 10^10-event scale.
+        #: 64 comfortably covers every reader of history:
+        #: registry_before_ddl walks back at most one epoch's DDL count.
+        self.journal_keep = journal_keep
         #: delta-volume ceiling for the broadcast-resolve fast path; above
         #: it the per-key winner set may not fit a broadcast, so resolution
         #: falls back to the full hash aggregate
@@ -199,7 +208,14 @@ class TargetTable:
                 e = json.load(f)
             if ddl_id not in e.get("applied_ddl", []):
                 return e["registry"]
-        return []
+        # v0 always has an empty applied_ddl, so falling through means
+        # the pre-DDL entry was pruned — possible only if one in-flight
+        # epoch applied more DDL events than the whole retention window
+        # (journal_keep) before crashing; fail loudly over guessing
+        raise RuntimeError(
+            f"journal history pruned past {ddl_id!r}; raise journal_keep "
+            "or re-create the table from the feed"
+        )
 
     def _commit(self, entry: dict) -> dict:
         """Atomic commit point: write tmp + rename (POSIX atomic)."""
@@ -684,6 +700,7 @@ class TargetTable:
             }
         )
         self._gc(entry)
+        self._prune_journal()
         return entry
 
     @staticmethod
@@ -709,6 +726,22 @@ class TargetTable:
 
     def compact(self, spark: SparkSession) -> dict:
         return self._compact_to(spark, self.state())
+
+    def _prune_journal(self) -> None:
+        """Expire journal entries older than the newest `journal_keep`
+        versions (Iceberg expireSnapshots). Runs only at compaction —
+        the steady-state commit path never pays the extra listdir. Only
+        the LATEST entry is load-bearing for recovery (the journal
+        rename is the commit point); history exists solely for
+        registry_before_ddl's bounded walk and debugging."""
+        if self.journal_keep <= 0:
+            return
+        vs = self._versions()
+        for v in vs[: max(0, len(vs) - self.journal_keep)]:
+            try:
+                os.remove(os.path.join(self.journal_dir, f"v{v:08d}.json"))
+            except OSError:
+                pass
 
     def _gc(self, st: dict) -> None:
         """Drop data dirs no longer reachable from the latest commit."""

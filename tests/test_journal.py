@@ -166,3 +166,37 @@ def test_registry_before_ddl_walks_versions(spark, tmp_path):
     # live registry after both: the renamed column holds the freed name
     assert {(c["target"], c["source_key"]) for c in t.state()["registry"]
             if c["target"] == "b"} == {("b", "a")}
+
+
+def test_journal_pruned_at_compaction(spark, tmp_path):
+    """The journal dir must not grow O(commits) forever: compaction
+    expires entries older than journal_keep (Iceberg expireSnapshots
+    analogue), the latest entry keeps working, and registry_before_ddl
+    still walks the retained window — raising loudly (not guessing) if
+    asked about history that was pruned away."""
+    import json
+    import os
+
+    import pytest
+
+    t = TargetTable(str(tmp_path / "t"), compact_every=4, journal_keep=6)
+    t.create_if_absent()
+    t.apply_ddl(spark, "add_column", json.dumps({"name": "q", "type": "int"}), "0:5")
+    for e in range(12):  # 3 compactions at compact_every=4
+        d = spark.createDataFrame(
+            [("d", [1, 2], 2, "s", 7, e + 10, False)], schema=t.phys_schema()
+        )
+        t.commit_delta(d, epoch=e)
+    files = [f for f in os.listdir(t.journal_dir) if f.endswith(".json")]
+    assert len(files) <= 6
+    st = t.state()
+    assert st["epoch_watermark"] == 11 and st["base_version"]
+    assert t.has_epoch(11) and not t.has_epoch(12)
+    # recent unapplied ddl_id → live registry (no walk needed)
+    assert [c["target"] for c in t.registry_before_ddl("99:1")] == ["q"]
+    # the add at 0:5 predates the retained window → loud failure
+    with pytest.raises(RuntimeError, match="pruned"):
+        t.registry_before_ddl("0:5")
+    # a DDL inside the retained window still resolves
+    t.apply_ddl(spark, "drop_column", json.dumps({"name": "q"}), "12:900")
+    assert [c["target"] for c in t.registry_before_ddl("12:900")] == ["q"]
