@@ -63,6 +63,9 @@ HEADLINE = [
     "emb_cosine_topk_ivf_indexed",
     # added round 3
     "cdc_image_fetch_join",
+    "doc_dup_clusters",
+    "doc_dup_clusters_inc",
+    "corpus_stratified_sample",
 ]
 
 #: key-only fetch replay is ~an order heavier per event than carry

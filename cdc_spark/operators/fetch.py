@@ -52,6 +52,17 @@ from cdc_spark.schema import SPARK_TYPE
 _PENDING_MAX = 50_000
 _CLOSURE_MAX = 500_000
 
+#: above this many needy keys, the fetched-image set (full rows with
+#: token arrays) may not fit an executor broadcast — the image join
+#: degrades to a shuffled join of O(needy) state rows (the broadcast
+#: semi still prunes the state scan; the full table never shuffles)
+_IMAGE_BROADCAST_CAP = 200_000
+#: above this many needy keys, even the keys-only semi filter is too
+#: big to broadcast; the state-pruning semi join then shuffles too —
+#: an epoch touching that many distinct keys pays a state exchange
+#: proportional to itself, which is the honest floor for a fetch feed
+_SEMI_BROADCAST_CAP = 4_000_000
+
 #: phase-A/B event shape consumed by the per-key replay
 FETCH_EVENT_SCHEMA = T.StructType(
     [
@@ -910,21 +921,29 @@ def fetch_delta(
     needy keys and then broadcast-LEFT-joined onto the winners: the big
     table streams with zero exchanges (the scale property the
     reference's per-batch CT base join also has); all merging is typed
-    (no string round-trips through the extra map)."""
+    (no string round-trips through the extra map). Epochs whose needy
+    set exceeds the broadcast caps degrade incrementally: past
+    `_IMAGE_BROADCAST_CAP` the image join shuffles O(needy) state rows
+    (semi still prunes the scan); past `_SEMI_BROADCAST_CAP` the semi
+    shuffles too. The winners side is persisted by the caller, so the
+    guard count is a cached scan."""
     reg = norm_registry(registry)
     needy = (
         winners.filter(F.col("need_tokens") | F.col("need_source") | F.col("need_extra"))
         .select(F.col("state_key").alias("doc_id"))
         .distinct()
     )
-    ssub = state.join(F.broadcast(needy), "doc_id", "left_semi").select(
+    n_needy = needy.count()
+    bc_semi = F.broadcast if n_needy <= _SEMI_BROADCAST_CAP else (lambda x: x)
+    bc_img = F.broadcast if n_needy <= _IMAGE_BROADCAST_CAP else (lambda x: x)
+    ssub = state.join(bc_semi(needy), "doc_id", "left_semi").select(
         F.col("doc_id").alias("_sk"),
         F.col("tokens").alias("_s_tokens"),
         F.col("n_tok").alias("_s_n_tok"),
         F.col("source").alias("_s_source"),
         *[F.col(c["target"]).alias(f"_s_{c['phys']}") for c in reg],
     )
-    j = winners.join(F.broadcast(ssub), winners["state_key"] == ssub["_sk"], "left")
+    j = winners.join(bc_img(ssub), winners["state_key"] == ssub["_sk"], "left")
     sel = [
         F.col("doc_id"),
         F.when(F.col("need_tokens"), F.col("_s_tokens")).otherwise(F.col("tokens")).alias("tokens"),

@@ -281,3 +281,16 @@ def test_fetch_redelivery_after_ddl_commit_still_purges_drops(spark, workdir):
     assert not table.has_epoch(1)  # delta uncommitted: epoch redelivers
     replay(spark, d, root, images="fetch", lineage=False)
     _assert_fetch_matches_oracle(spark, table, d)
+
+
+def test_fetch_state_join_fallback_above_caps(spark, workdir, keys_binlog, monkeypatch):
+    """Epochs whose needy-key set exceeds the broadcast caps must take
+    the shuffled state-join fallback and still land on the oracle
+    state (forced here by setting both caps below any count)."""
+    import cdc_spark.operators.fetch as fo
+
+    monkeypatch.setattr(fo, "_IMAGE_BROADCAST_CAP", -1)
+    monkeypatch.setattr(fo, "_SEMI_BROADCAST_CAP", -1)
+    table = replay(spark, keys_binlog, f"{workdir}/t_fetch_nobc",
+                   images="fetch", lineage=False)
+    _assert_fetch_matches_oracle(spark, table, keys_binlog)
