@@ -27,7 +27,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_replay(
-    binlog: str, table: str, cores: int, zip_path: str, pin: bool = False
+    binlog: str, table: str, cores: int, zip_path: str, pin: bool = False,
+    images: str = "carry",
 ) -> dict:
     """One spark-submit replay run; returns the job's JSON result + wall.
 
@@ -60,6 +61,7 @@ def run_replay(
             os.path.join(REPO, "cdc_spark", "job.py"),
             "replay", "--binlog", binlog, "--table", table,
             "--shuffle-partitions", str(cores),
+            "--images", images,
         ],
         capture_output=True, text=True, check=True,
     )
@@ -91,6 +93,9 @@ def main() -> int:
                     help="taskset each run to exactly its core count — "
                          "REQUIRED for meaningful N->4N efficiency on a "
                          "many-core host (see run_replay docstring)")
+    ap.add_argument("--images", default="full", choices=["full", "keys"],
+                    help="feed shape: full before/after images (carry "
+                         "replay) or key-only CT shape (fetch replay)")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--out", default="BENCH_scaling.md",
                     help="markdown report path relative to the repo root "
@@ -107,10 +112,11 @@ def main() -> int:
     binlog = os.path.join(work, "binlog")
     if not os.path.isdir(binlog):
         sys.path.insert(0, REPO)
-        from cdc_spark.genlog import GenConfig, write_binlog
+        from cdc_spark.genlog import GenConfig, write_binlog, write_binlog_keys
 
+        writer = write_binlog_keys if args.images == "keys" else write_binlog
         print(f"generating {args.events} events → {binlog}", file=sys.stderr)
-        write_binlog(
+        writer(
             GenConfig(n_events=args.events, n_docs=args.docs,
                       events_per_epoch=args.epoch_size, seed=42),
             binlog,
@@ -125,7 +131,8 @@ def main() -> int:
         samples = []
         for rep in range(args.repeat):
             r = run_replay(binlog, os.path.join(work, f"table_{cores}"),
-                           cores, zip_path, pin=args.pin_cpus)
+                           cores, zip_path, pin=args.pin_cpus,
+                           images="fetch" if args.images == "keys" else "carry")
             samples.append(r)
             print(f"local[{cores}] run {rep + 1}/{args.repeat}: {r['seconds']}s",
                   file=sys.stderr)
@@ -163,6 +170,7 @@ def main() -> int:
     rows_set = {r["final_rows"] for r in results.values()}
     summary = {
         "metric": "replay scaling efficiency (local[N] vs local[4N])",
+        "images": args.images,
         "events": args.events,
         "throughput": {c: results[c]["events_per_sec"] for c in core_list},
         "seconds": {c: results[c]["seconds"] for c in core_list},
