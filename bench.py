@@ -115,6 +115,14 @@ def main() -> int:
         # -- 1b. key-only (CT-shaped) fetch replay — round 3 -------------
         from cdc_spark.genlog import write_binlog_keys
 
+        # untimed fetch-path warmup, symmetric with the carry warmup
+        # above: the first fetch epoch pays one-off mapInPandas worker +
+        # kernel-codegen costs (~10-20 s, measured run-0 31.4 s vs
+        # run-1/2 13.0/10.3 s on identical input) that a streaming
+        # deploy pays once per process
+        write_binlog_keys(warm_cfg, f"{work}/warm_keys_binlog")
+        replay(spark, f"{work}/warm_keys_binlog", f"{work}/warm_fetch_table",
+               images="fetch", lineage=False)
         fetch_cfg = GenConfig(
             n_events=N_FETCH_EVENTS, n_docs=max(N_FETCH_EVENTS // 10, 1000),
             events_per_epoch=EPOCH, seed=42,
@@ -161,6 +169,7 @@ def main() -> int:
         "replay_events_per_sec": round(events_per_sec, 1) if events_per_sec else None,
         "replay_final_rows": final_rows,
         "replay_jit_warmup": True,  # since r2: 20k-event untimed warmup replay
+        "fetch_jit_warmup": True,  # since r3: symmetric untimed fetch warmup
         "fetch_replay_events": N_FETCH_EVENTS,
         "fetch_replay_events_per_sec": round(N_FETCH_EVENTS / fetch_sec, 1) if fetch_sec > 0 else None,
         "fetch_replay_final_rows": fetch_rows,
