@@ -83,6 +83,9 @@ FETCH_EVENT_SCHEMA = T.StructType(
     ]
 )
 
+#: FETCH_EVENT_SCHEMA field names, in order
+_NAMES = [f.name for f in FETCH_EVENT_SCHEMA.fields]
+
 WINNER_SCHEMA = T.StructType(
     [
         T.StructField("lsn", T.LongType()),
@@ -284,9 +287,27 @@ _ANSWER_SCHEMA = T.StructType(
 
 _MAX_CHAIN_ROUNDS = 8
 
+class _Unknown:
+    """Pickle-stable singleton sentinel. A bare ``object()`` loses
+    identity when a kernel closure and the module functions it calls
+    are pickled to executors separately — ``is _UNK`` then silently
+    fails across the function boundary. ``__reduce__`` funnels every
+    unpickle through the singleton, so identity holds per-process."""
+
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __reduce__(self):
+        return (_Unknown, ())
+
+
 #: sentinel: chain component whose value depends on a not-yet-resolved
 #: cross-key pending (resolved in a later round)
-_UNK = object()
+_UNK = _Unknown()
 
 
 def _query_fold_kernel(drops: list[tuple[int, str]]):
@@ -604,10 +625,24 @@ def resolve_cross_key(
     measured SLOWER (interpreted HOF eval copies the whole fold
     state/map per event, where the kernel mutates dicts in place);
     kept as a cross-validating twin, both pinned equal by tests."""
-    names = [f.name for f in FETCH_EVENT_SCHEMA.fields]
+    pend_rows = _collect_pendings(events)
+    if not pend_rows:
+        return events
+    base = events.filter(~(F.col("reset") & F.col("base_key").isNotNull()))
+    resolved = _resolve_pendings(
+        spark, base, {r["lsn"]: r for r in pend_rows}, drops, impl=impl
+    )
+    inj_df = _events_df(spark, resolved.values(), _NAMES)
+    # structural filter: EVERY cross-key reset row was just resolved, so
+    # drop that shape wholesale and union the literal twins back in
+    return base.unionByName(inj_df)
+
+
+def _collect_pendings(events: DataFrame) -> list[dict]:
+    """Driver-collect the (capped) cross-key pending set as dicts."""
 
     def to_dict(row) -> dict:
-        d = dict(zip(names, row))
+        d = dict(zip(_NAMES, row))
         if d["extra"] is not None and not isinstance(d["extra"], dict):
             d["extra"] = dict(d["extra"])
         if d["tokens"] is not None:
@@ -617,72 +652,80 @@ def resolve_cross_key(
     pend_rows = [
         to_dict(r)
         for r in events.filter(F.col("reset") & F.col("base_key").isNotNull())
-        .select(*names)
+        .select(*_NAMES)
         .limit(_PENDING_MAX + 1)
         .collect()
     ]
-    if not pend_rows:
-        return events
     if len(pend_rows) > _PENDING_MAX:
         raise ValueError(
             f"more than {_PENDING_MAX} cross-key (PK-change) fetch events "
             "in one epoch; refusing to resolve a pathological feed "
             "driver-side"
         )
+    return pend_rows
 
-    base = events.filter(~(F.col("reset") & F.col("base_key").isNotNull()))
+
+def _make_resolved(p: dict, a: dict) -> dict:
+    out = dict(p)
+    if not p["set_tokens"]:
+        if a["tokens_is_marker"]:
+            out["tokens"], out["n_tok"] = None, None
+        else:
+            out["tokens"], out["n_tok"] = a["tokens"], a["n_tok"]
+            out["set_tokens"] = True
+    if not p["set_source"]:
+        out["source"] = None if a["source_is_marker"] else a["source"]
+        out["set_source"] = not a["source_is_marker"]
+    fold = dict(a["fold"] or {})
+    fold.update(p["extra"] or {})
+    out["extra"] = fold
+    # the chain has exactly ONE state root (its origin — any field
+    # markers carry the same one); None => fully absolute
+    out["base_key"] = a["origin"]
+    return out
+
+
+def _resolve_pendings(
+    spark: SparkSession,
+    base: DataFrame,
+    unresolved: dict[int, dict],
+    drops: list[tuple[int, str]],
+    impl: str = "pandas",
+) -> dict[int, dict]:
+    """Round loop resolving the pending set → {lsn: literal event dict}."""
     kind0 = F.lit(0).cast("int").alias("kind")
     resolved: dict[int, dict] = {}
-    unresolved = {r["lsn"]: r for r in pend_rows}
     ans_names = [f.name for f in _ANSWER_SCHEMA.fields]
-
-    def make_resolved(p: dict, a: dict) -> dict:
-        out = dict(p)
-        if not p["set_tokens"]:
-            if a["tokens_is_marker"]:
-                out["tokens"], out["n_tok"] = None, None
-            else:
-                out["tokens"], out["n_tok"] = a["tokens"], a["n_tok"]
-                out["set_tokens"] = True
-        if not p["set_source"]:
-            out["source"] = None if a["source_is_marker"] else a["source"]
-            out["set_source"] = not a["source_is_marker"]
-        fold = dict(a["fold"] or {})
-        fold.update(p["extra"] or {})
-        out["extra"] = fold
-        # the chain has exactly ONE state root (its origin — any field
-        # markers carry the same one); None => fully absolute
-        out["base_key"] = a["origin"]
-        return out
 
     for _round in range(_MAX_CHAIN_ROUNDS):
         if not unresolved:
             break
-        pend_df = _events_df(spark, unresolved.values(), names)
+        pend_df = _events_df(spark, unresolved.values(), _NAMES)
         inj_df = (
-            _events_df(spark, resolved.values(), names)
+            _events_df(spark, resolved.values(), _NAMES)
             if resolved
             else spark.createDataFrame([], FETCH_EVENT_SCHEMA)
         )
         stream = (
-            base.select(*names, kind0)
-            .unionByName(inj_df.select(*names, kind0))
+            base.select(*_NAMES, kind0)
+            .unionByName(inj_df.select(*_NAMES, kind0))
             .unionByName(
-                pend_df.select(*names, F.lit(1).cast("int").alias("kind"))
+                pend_df.select(*_NAMES, F.lit(1).cast("int").alias("kind"))
             )
             .unionByName(
                 pend_df.select(
                     F.col("base_key").alias("doc_id"),
-                    *[F.col(n) for n in names if n not in ("doc_id",)],
+                    *[F.col(n) for n in _NAMES if n not in ("doc_id",)],
                     F.lit(2).cast("int").alias("kind"),
-                ).select(*names, "kind")
+                ).select(*_NAMES, "kind")
             )
         )
-        # queried-key round filter: only timelines some pending QUERIES
-        # can affect an answer, so each round folds just those (the set
-        # is driver-known and capped → broadcast semi-join; it shrinks
-        # with the unresolved set, so later rounds touch a handful of
-        # keys instead of re-folding the whole epoch)
+        # queried-key round filter: only timelines some pending
+        # QUERIES can affect an answer, so each round folds just
+        # those (the set is driver-known and capped → broadcast
+        # semi-join; it shrinks with the unresolved set, so later
+        # rounds touch a handful of keys instead of re-folding the
+        # whole epoch)
         queried = spark.createDataFrame(
             sorted({(d["base_key"],) for d in unresolved.values()}),
             "doc_id string",
@@ -706,7 +749,7 @@ def resolve_cross_key(
             p = unresolved.get(a["pending_lsn"])
             if p is None or not a["ok"]:
                 continue
-            resolved[p["lsn"]] = make_resolved(p, a)
+            resolved[p["lsn"]] = _make_resolved(p, a)
             del unresolved[p["lsn"]]
             progressed = True
         if unresolved and not progressed:
@@ -719,11 +762,7 @@ def resolve_cross_key(
             f"cross-key fetch chains deeper than {_MAX_CHAIN_ROUNDS} "
             "rounds; refusing a pathological feed"
         )
-
-    inj_df = _events_df(spark, resolved.values(), names)
-    # structural filter: EVERY cross-key reset row was just resolved, so
-    # drop that shape wholesale and union the literal twins back in
-    return base.unionByName(inj_df)
+    return resolved
 
 
 def fetch_winners(events: DataFrame, drops: list[tuple[int, str]]) -> DataFrame:
@@ -1025,7 +1064,16 @@ def fetch_delta_from_events(
     (`fetch_winners_expr`) — measured slower on the 500k bench epoch
     (3.3s vs 2.4s: interpreted HOF eval copies the whole fold
     state per event where the kernel mutates dicts in place); kept as a
-    cross-validating twin, pinned equal by tests."""
+    cross-validating twin, pinned equal by tests.
+
+    A FUSED variant (round-0 answers emitted from the winners fold,
+    pendings' keys re-folded after resolution) was built and measured
+    a wash — interleaved best-of-3 on 500k-event epochs: 8.77 s
+    unfused vs 8.86 s fused at the default mix, 10.51 vs 10.74 s at
+    8% PK-change (40k pendings, near the cap). The queried-key round
+    filter already minimizes the round-0 fold; the fused pass's
+    tainted-key patch fold and larger persisted frame offset the saved
+    fold, so the simpler unfused pipeline stays."""
     events = resolve_cross_key(spark, events, drops)
     kernel = fetch_winners_expr if winners_impl == "expr" else fetch_winners
     winners = track_persist(kernel(events, drops))

@@ -294,3 +294,4 @@ def test_fetch_state_join_fallback_above_caps(spark, workdir, keys_binlog, monke
     table = replay(spark, keys_binlog, f"{workdir}/t_fetch_nobc",
                    images="fetch", lineage=False)
     _assert_fetch_matches_oracle(spark, table, keys_binlog)
+
