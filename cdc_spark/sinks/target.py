@@ -119,11 +119,19 @@ class TargetTable:
         buckets: int = 32,
         resolve_join_max_bytes: int = 64 << 20,
         journal_keep: int = 64,
+        inline_compact_budget: int | None = None,
     ):
         self.path = path
         self.journal_dir = os.path.join(path, "_journal")
         self.compact_every = compact_every
         self.buckets = buckets
+        #: max dirty buckets an INLINE (commit-path) compaction tick may
+        #: rewrite; the rest of the delta rows are carried to the next
+        #: tick (see _compact_to). None = unbudgeted (default). The
+        #: `compact` CLI/maintenance entry point always runs the full
+        #: pass — the Iceberg split between commit-path and
+        #: rewrite_data_files maintenance.
+        self.inline_compact_budget = inline_compact_budget
         #: journal versions retained past compaction (Iceberg
         #: expireSnapshots analogue). Without retention the journal dir
         #: grows one file per commit FOREVER and `state()` lists it every
@@ -149,6 +157,7 @@ class TargetTable:
                     "base_version": 0,
                     "delta_epochs": [],
                     "delta_refs": {},
+                    "delta_bytes": {},
                     "applied_ddl": [],
                     # applied epochs = [epoch_floor, epoch_watermark] plus
                     # the sparse `epochs` list; stats kept only for the
@@ -389,14 +398,38 @@ class TargetTable:
             for e in st["delta_epochs"]
             if str(e) not in st.get("delta_refs", {})
         ]
-        return [p for p in paths if os.path.isdir(p)]
+        return self._require_dirs(paths, "delta")
 
     def _ref_dirs(self, st: dict) -> list[str]:
-        return [p for p in st.get("delta_refs", {}).values() if os.path.isdir(p)]
+        return self._require_dirs(
+            list(st.get("delta_refs", {}).values()), "ref-delta"
+        )
+
+    def _carry_dirs(self, st: dict) -> list[str]:
+        """Delta rows a BUDGETED compaction tick did not consume (phys
+        columns, written by _compact_to; consumed by a later tick)."""
+        return self._require_dirs(list(st.get("carry_deltas", [])), "carry-delta")
+
+    def _require_dirs(self, paths: list[str], kind: str) -> list[str]:
+        """Journal-referenced directories MUST exist: commit_delta always
+        writes its dir (even for an empty epoch) and commit_delta_ref only
+        references staged slices that existed at commit time. A missing
+        path means committed data vanished (bad sweep, manual cleanup,
+        partial restore) — silently skipping it would return state missing
+        a committed epoch and the next compaction would fold that loss
+        into the base permanently. Fail loudly instead."""
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise FileNotFoundError(
+                f"{self.path}: journal references {len(missing)} {kind} "
+                f"dir(s) that do not exist on disk — committed data is "
+                f"missing: {missing[:5]}"
+            )
+        return paths
 
     def _data_paths(self, st: dict) -> list[str]:
         base = self._base_dir(st)
-        return ([base] if base else []) + self._delta_dirs(st)
+        return ([base] if base else []) + self._delta_dirs(st) + self._carry_dirs(st)
 
     @staticmethod
     def _base_partitioned(base_dir: str) -> bool:
@@ -427,7 +460,7 @@ class TargetTable:
         read, which project_to_table's add-lsn masking makes equivalent
         to having projected them at commit time."""
         parts = []
-        paths = self._delta_dirs(st)
+        paths = self._delta_dirs(st) + self._carry_dirs(st)
         if paths:
             parts.append(
                 spark.read.schema(self.phys_schema(st["registry"])).parquet(*paths)
@@ -443,11 +476,30 @@ class TargetTable:
             out = out.unionByName(p)
         return out
 
-    def _delta_bytes(self, st: dict) -> int:
+    @staticmethod
+    def _dir_bytes(path: str) -> int:
         total = 0
-        for d in self._delta_dirs(st) + self._ref_dirs(st):
-            for root, _dirs, files in os.walk(d):
-                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    def _delta_bytes(self, st: dict) -> int:
+        """Total uncompacted delta bytes — from journal-recorded sizes
+        (the writer measures each epoch dir ONCE at commit time). Only a
+        legacy journal entry with no recorded size pays a filesystem walk
+        for that epoch; at scale a per-read walk here would be an
+        object-store LIST per query."""
+        sizes = st.get("delta_bytes", {})
+        refs = st.get("delta_refs", {})
+        total = 0
+        for e in st["delta_epochs"]:
+            s = sizes.get(str(e))
+            if s is None:
+                p = refs.get(str(e)) or os.path.join(
+                    self.path, "delta", f"epoch={e:08d}"
+                )
+                s = self._dir_bytes(p)
+            total += s
         return total
 
     def _fast_resolve_ok(self, st: dict) -> bool:
@@ -457,6 +509,14 @@ class TargetTable:
         always satisfies this; a late epoch delivered below the
         compaction watermark, or an epoch committed without stats,
         falls back to the full aggregate."""
+        if st.get("carry_deltas"):
+            # budget-carried rows have no journal lsn proof against the
+            # partially-rewritten base (their buckets' base rows are
+            # older, but the global base_max_lsn includes the rewritten
+            # buckets) — full aggregate until a tick drains the carries.
+            # A per-bucket base_max map would restore the proof; not
+            # needed while the budget is an opt-in maintenance valve.
+            return False
         if not st["delta_epochs"]:
             return True
         if st["base_version"]:
@@ -552,6 +612,11 @@ class TargetTable:
                 "version": st["version"] + 1,
                 "kind": "delta",
                 "delta_epochs": st["delta_epochs"] + [epoch],
+                # measured ONCE here by the writer; read_resolved's
+                # fast-path volume check reads the journal instead of
+                # walking the filesystem per read
+                "delta_bytes": {**st.get("delta_bytes", {}),
+                                str(epoch): self._dir_bytes(outdir)},
                 # resolved via applied_epochs so a legacy journal (no
                 # epoch_floor key) keeps its -inf floor instead of
                 # un-applying its folded watermark range
@@ -565,7 +630,9 @@ class TargetTable:
             }
         )
         if len(entry["delta_epochs"]) >= self.compact_every:
-            entry = self._compact_to(df.sparkSession, entry)
+            entry = self._compact_to(
+                df.sparkSession, entry, budget=self.inline_compact_budget
+            )
         return entry
 
     def commit_delta_ref(
@@ -591,6 +658,8 @@ class TargetTable:
                 "kind": "delta",
                 "delta_epochs": st["delta_epochs"] + [epoch],
                 "delta_refs": {**st.get("delta_refs", {}), str(epoch): ref_path},
+                "delta_bytes": {**st.get("delta_bytes", {}),
+                                str(epoch): self._dir_bytes(ref_path)},
                 "epoch_floor": (lambda f: epoch if f is None else min(f, epoch))(
                     self.applied_epochs(st)[0]
                 ),
@@ -601,13 +670,17 @@ class TargetTable:
             }
         )
         if len(entry["delta_epochs"]) >= self.compact_every:
-            entry = self._compact_to(spark, entry)
+            entry = self._compact_to(
+                spark, entry, budget=self.inline_compact_budget
+            )
         return entry
 
     # -- compaction ------------------------------------------------------------
 
-    def _compact_to(self, spark: SparkSession, st: dict) -> dict:
-        """Consume all deltas into a new base version — DIRTY BUCKETS ONLY.
+    def _compact_to(
+        self, spark: SparkSession, st: dict, budget: int | None = None,
+    ) -> dict:
+        """Consume deltas into a new base version — DIRTY BUCKETS ONLY.
 
         The base is parquet-partitioned by `_bucket=pmod(xxhash64(doc_id),
         buckets)`. Buckets with no delta rows are carried into the new
@@ -618,7 +691,19 @@ class TargetTable:
         (from widens) are physically normalized away bucket-by-bucket as
         buckets get dirty — never as a synchronous whole-table job.
         A legacy (unpartitioned) base forces one full rewrite that adopts
-        the bucket layout and seeds `base_max_lsn`."""
+        the bucket layout and seeds `base_max_lsn`.
+
+        `budget` (inline ticks only; the maintenance `compact` CLI passes
+        None): when more than `budget` buckets are dirty, rewrite only
+        the `budget` DIRTIEST (by delta row count) and write the
+        unconsumed delta rows to a carry dir the next tick re-reads —
+        an epoch's inline apply latency is then bounded by O(budget
+        buckets + delta) instead of O(all dirty buckets), the Iceberg
+        property that commit-path work never scales with table dirtiness.
+        Carried buckets rank dirtiest next tick (their rows re-count),
+        so every bucket is consumed within ~⌈buckets/budget⌉ ticks and
+        carry volume stays bounded. While carries exist reads take the
+        full-aggregate path (_fast_resolve_ok)."""
         deltas = self.read_deltas(spark, st)
         base_dir = self._base_dir(st)
         bucketed = base_dir is not None and self._base_partitioned(base_dir)
@@ -630,12 +715,27 @@ class TargetTable:
         buckets = st.get("buckets", self.buckets)
         bcol = self._bucket_col(st)
         dirty: list[int] | None = None  # None → all buckets
+        carried_buckets: list[int] = []
         delta_max = None
         if deltas is not None:
-            agg = deltas.groupBy(bcol.alias("_b")).agg(F.max("last_lsn").alias("m")).collect()
-            delta_max = max((r["m"] for r in agg), default=None)
+            agg = deltas.groupBy(bcol.alias("_b")).agg(
+                F.max("last_lsn").alias("m"), F.count(F.lit(1)).alias("n")
+            ).collect()
             if bucketed and prev_max is not None:
                 dirty = sorted(r["_b"] for r in agg)
+                if budget is not None and len(dirty) > budget:
+                    sel = {
+                        r["_b"]
+                        for r in sorted(agg, key=lambda r: (-r["n"], r["_b"]))[:budget]
+                    }
+                    carried_buckets = sorted(set(dirty) - sel)
+                    dirty = sorted(sel)
+                    deltas, carried = (
+                        deltas.filter(bcol.isin(dirty)),
+                        deltas.filter(bcol.isin(carried_buckets)),
+                    )
+                    agg = [r for r in agg if r["_b"] in sel]
+            delta_max = max((r["m"] for r in agg), default=None)
 
         base = self.read_base(spark, st, keep_bucket=True)
         parts = []
@@ -646,6 +746,13 @@ class TargetTable:
             parts.append(deltas)
         new_base = st["version"] + 1
         outdir = os.path.join(self.path, "base", f"v{new_base:08d}")
+        carry_paths: list[str] = []
+        if carried_buckets:
+            carry_dir = os.path.join(self.path, "delta", f"carry-v{new_base:08d}")
+            carried.repartition(len(carried_buckets), bcol).write.mode(
+                "overwrite"
+            ).parquet(carry_dir)
+            carry_paths = [carry_dir]
         if parts:
             merged = parts[0]
             for p in parts[1:]:
@@ -665,9 +772,14 @@ class TargetTable:
         if dirty is not None and base_dir:
             self._link_clean_buckets(base_dir, outdir, exclude=set(dirty))
         new_max = max((v for v in (prev_max, delta_max) if v is not None), default=None)
-        if new_max is None and parts:
-            # no journal-known lsn bound (legacy base / statless epochs):
-            # one aggregate over the rewritten data seeds the invariant
+        if parts and (new_max is None or (prev_max is None and base is not None)):
+            # no journal-proven lsn bound for every carried row: legacy-base
+            # adoption (prev_max None while base rows exist — a late-delivered
+            # delta epoch can sit BELOW legacy base lsns, so delta_max alone
+            # would understate the base maximum and corrupt the broadcast
+            # fast-path invariant) or statless epochs. One aggregate over the
+            # rewritten data seeds the invariant. The prev_max-None path always
+            # full-rewrites (dirty stays None), so the new base is complete.
             row = self.read_base(spark, {**st, "base_version": new_base}) \
                 .agg(F.max("last_lsn").alias("m")).first()
             new_max = row["m"]
@@ -691,6 +803,10 @@ class TargetTable:
                 "base_version": new_base,
                 "delta_epochs": [],
                 "delta_refs": {},
+                "delta_bytes": {},
+                # a budgeted tick's unconsumed rows; [] on a full tick
+                # (any prior carries were re-read and consumed above)
+                "carry_deltas": carry_paths,
                 "base_max_lsn": new_max,
                 "epoch_watermark": w,
                 "epochs": sparse,
@@ -725,6 +841,8 @@ class TargetTable:
                     shutil.copy2(os.path.join(src, f), os.path.join(dst, f))
 
     def compact(self, spark: SparkSession) -> dict:
+        """Full (unbudgeted) compaction — the maintenance entry point;
+        consumes every delta AND any budget-carried rows."""
         return self._compact_to(spark, self.state())
 
     def _prune_journal(self) -> None:
