@@ -58,9 +58,17 @@ def main(argv: list[str] | None = None) -> int:
         r = sub.add_parser(name, help=f"{name} driver: binlog → target table")
         r.add_argument("--binlog", required=True)
         r.add_argument("--table", required=True)
-        r.add_argument("--dedupe", default="agg", choices=["agg", "window", "salted", "auto"])
+        r.add_argument("--dedupe", default="agg", choices=["agg", "window", "salted", "auto"],
+                       help="LWW dedupe plan; agg (default) partial-"
+                       "aggregates map-side and is already hot-key-proof "
+                       "— auto's sampled histogram costs 2 extra jobs/"
+                       "epoch (see operators/dedupe.py)")
         r.add_argument("--normalize", default="expr", choices=["expr", "arrow"])
         r.add_argument("--compact-every", type=int, default=16)
+        r.add_argument("--compact-budget", type=int, default=None,
+                       help="max dirty buckets an inline compaction tick "
+                       "may rewrite (rest carried; `compact` CLI is the "
+                       "full maintenance pass). Default: unbudgeted")
         r.add_argument("--wire", default="parquet", choices=["parquet", "avro"],
                        help="segment payload: typed parquet rows, or Avro "
                             "single-object frames (T6; see avro-encode)")
@@ -106,7 +114,11 @@ def main(argv: list[str] | None = None) -> int:
     jr.add_argument("--outbox", default="changes", help="outbox table name")
     jr.add_argument("--driver", default=None, help="JDBC driver class")
     jr.add_argument("--num-partitions", type=int, default=4)
-    jr.add_argument("--dedupe", default="agg", choices=["agg", "window", "salted", "auto"])
+    jr.add_argument("--dedupe", default="agg", choices=["agg", "window", "salted", "auto"],
+                       help="LWW dedupe plan; agg (default) partial-"
+                       "aggregates map-side and is already hot-key-proof "
+                       "— auto's sampled histogram costs 2 extra jobs/"
+                       "epoch (see operators/dedupe.py)")
     _add_common(jr)
 
     ae = sub.add_parser(
@@ -200,7 +212,7 @@ def main(argv: list[str] | None = None) -> int:
                     dedupe_mode=args.dedupe, normalize_impl=args.normalize,
                     compact_every=args.compact_every, stats_out=epoch_stats,
                     wire=args.wire, lineage=not args.no_lineage,
-                    images=args.images,
+                    images=args.images, compact_budget=args.compact_budget,
                 )
             else:
                 from cdc_spark.streaming.pipeline import stream
@@ -208,7 +220,8 @@ def main(argv: list[str] | None = None) -> int:
                 table = stream(spark, args.binlog, args.table, checkpoint_dir=args.checkpoint,
                                dedupe_mode=args.dedupe,
                                max_files_per_trigger=args.max_files_per_trigger,
-                               wire=args.wire, images=args.images)
+                               wire=args.wire, images=args.images,
+                               compact_budget=args.compact_budget)
             dt = time.monotonic() - t0
             st = table.state()
             n_rows = table.read_resolved(spark).count()
@@ -250,6 +263,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 router = TableRouter(args.table)
                 diffs, n_oracle, n_engine = [], 0, 0
+                missing_tables = []
                 for name, (state, reg) in sorted(by_table.items()):
                     expected = {r["doc_id"]: r for r in oracle.final_rows(state, reg)}
                     n_oracle += len(expected)
@@ -257,7 +271,12 @@ def main(argv: list[str] | None = None) -> int:
                         # a table the oracle expects but the engine never
                         # routed is a DIFF — touching router.get() here
                         # would create its journal inside the very tree
-                        # being verified
+                        # being verified. missing_tables makes the diff
+                        # count attributable without reading sample keys
+                        # (its rows count into rows_oracle, never
+                        # rows_engine, so the totals don't reconcile with
+                        # diffs by themselves).
+                        missing_tables.append(name)
                         diffs += [f"{name}/{k}" for k in expected]
                         continue
                     actual = {r["doc_id"]: r.asDict()
@@ -265,6 +284,7 @@ def main(argv: list[str] | None = None) -> int:
                     n_engine += len(actual)
                     diffs += _diff(expected, actual, prefix=f"{name}/")
                 print(json.dumps({"tables": sorted(by_table),
+                                  "missing_tables": missing_tables,
                                   "rows_oracle": n_oracle, "rows_engine": n_engine,
                                   "diffs": len(diffs), "ok": not diffs,
                                   "sample": diffs[:5]}))

@@ -15,11 +15,15 @@ Dataflow (per epoch):
 
 1. `normalize_fetch` — change rows → setter-flagged apply events, pure
    column expressions (PK-change still explodes to D+I, T8).
-2. Cross-key chains — a PK-change whose update is masked copies fields
-   from the OLD key's image: rare (p_pk_change × p_missing), resolved
-   exactly on the driver from a bounded broadcast-collected slice of
-   the epoch (transitive closure over chained PK-changes), then
-   re-injected as literal events. Zero extra state reads.
+2. Cross-key chains — a PK-change copies unsupplied fields from the
+   OLD key's image: resolved in ONE distributed pass. Only the tiny
+   (doc_id, base_key) edge set is driver-collected (capped); the
+   driver union-finds it into chain components and each component's
+   timelines + queries co-partition, so even transitive chains resolve
+   with cheap local refolds inside the partition kernel — no
+   per-round Spark jobs, no driver re-injection. Zero extra state
+   reads. An epoch whose stats prove zero PK-changes skips the pass
+   (and even its probe job) entirely.
 3. `fetch_winners` — per-key sequential replay as ONE Arrow-batched
    `mapInPandas` pass per hash partition of doc_id (one shuffle — the
    same exchange the LWW dedupe pays in carry mode; partition-level
@@ -33,10 +37,11 @@ Dataflow (per epoch):
    reference's per-batch base-table join. Typed column merge (no
    string round-trips), then the standard delta commit.
 
-Caps: cross-key pendings and their closure slice are driver-collected
-and bounded (`_PENDING_MAX`, `_CLOSURE_MAX`) — PK-change chains are a
-tiny fraction of real feeds and a feed exceeding the caps fails loudly
-rather than OOMing the driver.
+Caps: only the cross-key EDGE pairs (two strings per PK-change) are
+ever driver-collected, bounded by `_PENDING_MAX`; timelines, answers,
+and resolved literal events all stay distributed. PK-change chains are
+a tiny fraction of real feeds and a feed exceeding the cap fails
+loudly rather than OOMing the driver.
 """
 
 from __future__ import annotations
@@ -52,7 +57,6 @@ from cdc_spark.sinks.target import norm_registry
 from cdc_spark.schema import SPARK_TYPE
 
 _PENDING_MAX = 50_000
-_CLOSURE_MAX = 500_000
 
 #: above this many needy keys, the fetched-image set (full rows with
 #: token arrays) may not fit an executor broadcast — the image join
@@ -310,16 +314,105 @@ class _Unknown:
 _UNK = _Unknown()
 
 
-def _query_fold_kernel(drops: list[tuple[int, str]]):
-    """Partition kernel answering image QUERIES interleaved with the
-    base-key timelines they target.
+def _apply_stream_ev(ch: dict, ev: dict, subs: dict) -> None:
+    """Advance a chain by one timeline row (kind 0 event or kind 1
+    pending placeholder, the latter substituted by its resolved literal
+    twin once `subs` holds one)."""
+    if int(ev["kind"]) == 1:
+        lit = subs.get(ev["lsn"])
+        if lit is not None:
+            _chain_apply(ch, lit)
+            return
+        # unresolved pending placeholder: its OWN supplied fields are
+        # known; everything it inherits from its (unresolved) base is
+        # UNKNOWN until a later setter/barrier overrides
+        ch["last"] = ev
+        ch["origin"] = _UNK
+        ch["fold"] = _UNK
+        if ev["set_tokens"]:
+            ch["tokens"], ch["n_tok"] = ev["tokens"], ev["n_tok"]
+        else:
+            ch["tokens"] = ch["n_tok"] = _UNK
+        ch["source"] = ev["source"] if ev["set_source"] else _UNK
+        return
+    # normal event — but an UNKNOWN fold must absorb updates without
+    # forgetting it is unknown-based
+    if not ev["deleted"] and not ev["reset"] and ch["fold"] is _UNK:
+        if ev["set_tokens"]:
+            ch["tokens"], ch["n_tok"] = ev["tokens"], ev["n_tok"]
+        if ev["set_source"]:
+            ch["source"] = ev["source"]
+        ch["last"] = ev
+        return  # fold/origin stay UNKNOWN
+    _chain_apply(ch, ev)
 
-    Stream rows carry `kind`: 0 = normal event (apply), 1 = PLACEHOLDER
-    for an unresolved pending (its own supplied fields apply; inherited
-    components become UNKNOWN until a barrier or setter overrides), 2 =
-    QUERY (emit the chain snapshot strictly-before its lsn; the same-lsn
-    D-half of the PK-change sorts after the query, matching the oracle's
-    fetch-then-delete order)."""
+
+def _snapshot_answer(ch: dict, q: dict, drops: list[tuple[int, str]]):
+    """Chain snapshot answering query `q` (strictly-before its lsn), or
+    None while the snapshot still depends on an unresolved pending."""
+    need_t = not q["set_tokens"]
+    need_s = not q["set_source"]
+    if (
+        (need_t and ch["tokens"] is _UNK)
+        or (need_s and ch["source"] is _UNK)
+        or ch["origin"] is _UNK
+        or ch["fold"] is _UNK
+    ):
+        return None
+    tv, sv = ch["tokens"], ch["source"]
+    t_marker = isinstance(tv, _Marker)
+    s_marker = isinstance(sv, _Marker)
+    return {
+        "tokens": None if (t_marker or tv is _UNK) else tv,
+        "n_tok": None if (t_marker or tv is _UNK) else ch["n_tok"],
+        "tokens_is_marker": t_marker,
+        "source": None if (s_marker or sv is _UNK) else sv,
+        "source_is_marker": s_marker,
+        "origin": ch["origin"],
+        "fold": _folded(ch["fold"], drops, at_lsn=q["lsn"]),
+    }
+
+
+def _fold_one_key(
+    evs: list[dict], qs: list[dict], want: set, subs: dict,
+    drops: list[tuple[int, str]],
+) -> list[tuple[dict, dict]]:
+    """One linear replay of a key's timeline answering the still-wanted
+    queries at their lsns (query strictly-before same-lsn events — the
+    D-half of a PK-change sorts after the query, matching the oracle's
+    fetch-then-delete order). Returns the (query, answer) pairs that
+    resolved."""
+    out = []
+    ch = None
+    i = 0
+    for q in qs:
+        if q["lsn"] not in want:
+            continue
+        if ch is None:
+            ch = _new_chain(q["doc_id"])
+        while i < len(evs) and evs[i]["lsn"] < q["lsn"]:
+            _apply_stream_ev(ch, evs[i], subs)
+            i += 1
+        a = _snapshot_answer(ch, q, drops)
+        if a is not None:
+            out.append((q, a))
+    return out
+
+
+def _chain_resolve_kernel(drops: list[tuple[int, str]]):
+    """Partition kernel resolving ENTIRE cross-key chains locally.
+
+    Input rows carry `kind`: 0 = normal event, 1 = PLACEHOLDER for a
+    pending (in its own key's timeline), 2 = QUERY (keyed by the
+    pending's base_key; `_orig` holds the pending's own doc_id). Every
+    key of a chain component is co-partitioned (resolve_cross_key's
+    union-find routing), so resolution iterates HERE: answer what round
+    0 can, substitute each resolved pending's literal twin into its own
+    key's timeline, refold just the keys that gained a substitution,
+    repeat. Each local round resolves ≥1 pending or the feed is cyclic
+    (fails loudly — a task error surfaces the message). Output = the
+    resolved literal twin events (FETCH_EVENT_SCHEMA) — nothing ever
+    returns to the driver."""
     import pandas as pd
 
     def run_partition(batches):
@@ -329,91 +422,69 @@ def _query_fold_kernel(drops: list[tuple[int, str]]):
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         if pdf.empty:
             return
-        pdf = pdf.assign(_qord=(pdf["kind"] != 2).astype("int8"))
-        pdf = pdf.sort_values(["doc_id", "lsn", "_qord"], kind="mergesort")
         cols = list(pdf.columns)
-        out = []
-        ch = None
-        cur_key = None
+        timelines: dict[str, list[dict]] = {}
+        queries: dict[str, list[dict]] = {}
         for tup in pdf.itertuples(index=False):
             ev = dict(zip(cols, tup))
-            if ev["doc_id"] != cur_key:
-                cur_key = ev["doc_id"]
-                ch = _new_chain(cur_key)
-            kind = int(ev["kind"])
-            if kind == 2:  # query: snapshot, never apply
-                need_t = not bool(ev["set_tokens"])
-                need_s = not bool(ev["set_source"])
-                unk = (
-                    (need_t and ch["tokens"] is _UNK)
-                    or (need_s and ch["source"] is _UNK)
-                    or ch["origin"] is _UNK
-                    or ch["fold"] is _UNK
-                )
-                if unk:
-                    out.append({"pending_lsn": ev["lsn"], "ok": False,
-                                "tokens": None, "n_tok": None,
-                                "tokens_is_marker": False, "source": None,
-                                "source_is_marker": False, "origin": None,
-                                "fold": {}})
-                else:
-                    tv, sv = ch["tokens"], ch["source"]
-                    t_marker = isinstance(tv, _Marker)
-                    s_marker = isinstance(sv, _Marker)
-                    origin = ch["origin"]
-                    out.append({
-                        "pending_lsn": ev["lsn"], "ok": True,
-                        "tokens": None if (t_marker or tv is _UNK) else tv,
-                        "n_tok": None if (t_marker or tv is _UNK) else ch["n_tok"],
-                        "tokens_is_marker": t_marker,
-                        "source": None if (s_marker or sv is _UNK) else sv,
-                        "source_is_marker": s_marker,
-                        "origin": origin,
-                        "fold": _folded(ch["fold"], drops, at_lsn=ev["lsn"]),
-                    })
-                continue
             if ev["tokens"] is not None:
                 ev["tokens"] = list(ev["tokens"])
             if ev["extra"] is not None and not isinstance(ev["extra"], dict):
                 ev["extra"] = dict(ev["extra"])
             for b in ("deleted", "reset", "set_tokens", "set_source"):
                 ev[b] = bool(ev[b])
-            if kind == 1:
-                # unresolved pending placeholder: its OWN supplied fields
-                # are known; everything it inherits from its (unresolved)
-                # base is UNKNOWN until a later setter/barrier overrides
-                ch["last"] = ev
-                ch["origin"] = _UNK
-                ch["fold"] = _UNK
-                if ev["set_tokens"]:
-                    ch["tokens"], ch["n_tok"] = ev["tokens"], ev["n_tok"]
-                else:
-                    ch["tokens"] = ch["n_tok"] = _UNK
-                ch["source"] = ev["source"] if ev["set_source"] else _UNK
-                continue
-            # normal event — but an UNKNOWN fold must absorb updates
-            # without forgetting it is unknown-based
-            if not ev["deleted"] and not ev["reset"] and ch["fold"] is _UNK:
-                if ev["set_tokens"]:
-                    ch["tokens"], ch["n_tok"] = ev["tokens"], ev["n_tok"]
-                if ev["set_source"]:
-                    ch["source"] = ev["source"]
-                ch["last"] = ev
-                continue  # fold/origin stay UNKNOWN
-            _chain_apply(ch, ev)
-        if out:
-            yield pd.DataFrame(
-                out, columns=[f.name for f in _ANSWER_SCHEMA.fields]
-            )
+            if int(ev["kind"]) == 2:
+                queries.setdefault(ev["doc_id"], []).append(ev)
+            else:
+                timelines.setdefault(ev["doc_id"], []).append(ev)
+        for evs in timelines.values():
+            evs.sort(key=lambda e: e["lsn"])
+        for qs in queries.values():
+            qs.sort(key=lambda e: e["lsn"])
+        # want[key] = lsns of this key's still-unanswered queries
+        want = {k: {q["lsn"] for q in qs} for k, qs in queries.items()}
+        subs: dict[int, dict] = {}
+        out_rows: list[dict] = []
+        n_left = sum(len(s) for s in want.values())
+        todo = set(queries)
+        while n_left:
+            progress = False
+            next_todo: set[str] = set()
+            for key in sorted(todo):
+                w = want.get(key)
+                if not w:
+                    continue
+                for q, a in _fold_one_key(
+                    timelines.get(key, []), queries[key], w, subs, drops
+                ):
+                    lit = _make_resolved(q, a)
+                    lit["doc_id"] = q["_orig"]
+                    subs[q["lsn"]] = lit
+                    w.discard(q["lsn"])
+                    n_left -= 1
+                    progress = True
+                    out_rows.append({n: lit[n] for n in _NAMES})
+                    # the resolved pending's own timeline just gained a
+                    # substitution — queries targeting it can now refold
+                    if want.get(lit["doc_id"]):
+                        next_todo.add(lit["doc_id"])
+            if n_left and not progress:
+                raise RuntimeError(
+                    "cross-key fetch chains did not progress (cyclic or "
+                    "malformed feed)"
+                )
+            todo = next_todo
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=_NAMES)
 
     return run_partition
 
 
 def _answers_expr(stream: DataFrame, drops: list[tuple[int, str]]) -> DataFrame:
-    """JVM twin of `_query_fold_kernel`: one Catalyst aggregate per key
-    replays the (event ∪ placeholder ∪ query)-interleaved timeline and
-    accumulates answer rows, instead of a Python fold over Arrow
-    batches. Input = FETCH_EVENT_SCHEMA + `kind` int column; output =
+    """Round-based JVM query-fold (the impl="expr" legacy twin): one
+    Catalyst aggregate per key replays the (event ∪ placeholder ∪
+    query)-interleaved timeline and accumulates answer rows, instead of
+    a Python fold. Input = FETCH_EVENT_SCHEMA + `kind` int column; output =
     _ANSWER_SCHEMA rows. Query rows sort before same-lsn events via the
     struct's second field (the same _qord trick as the kernel), which
     keeps the fetch-then-delete order of a PK-change's D-half."""
@@ -590,52 +661,123 @@ def _answers_expr(stream: DataFrame, drops: list[tuple[int, str]]) -> DataFrame:
 
 def resolve_cross_key(
     spark: SparkSession, events: DataFrame, drops: list[tuple[int, str]],
-    impl: str = "pandas",
+    impl: str = "pandas", n_pk_change: int | None = None,
 ) -> DataFrame:
     """Replace cross-key reset events (PK-change I-halves) with
     literal/marker-resolved twins so the per-key replay becomes fully
     key-local.
 
-    DISTRIBUTED: image queries are co-partitioned with their base key's
-    timeline and answered inside the partition fold — the epoch's events
-    never ship to the driver (Zipf-hot base keys make the naive
-    "collect the referenced timelines" approach pull most of the epoch).
-    Only the pendings themselves (capped) and their answers (one small
-    row each) are collected. True value-dependency chains (a pending
-    whose needed field was last written by another pending) resolve over
-    extra rounds — each round one partition fold; depth beyond
-    _MAX_CHAIN_ROUNDS is a pathological feed and fails loudly. State
-    lookups stay SYMBOLIC (origin markers) and are satisfied by
-    fetch_delta's one typed state join.
+    SINGLE-PASS DISTRIBUTED (round 4): the only thing ever collected is
+    the pending EDGE set — one (doc_id, base_key) string pair per
+    PK-change, capped by `_PENDING_MAX`. The driver union-finds those
+    edges into chain components (a pending can only depend on another
+    pending reachable through the edge graph), broadcasts the
+    key→component map, and routes every queried key's timeline, pending
+    placeholder, and image query into its component's partition. The
+    kernel (`_chain_resolve_kernel`) then iterates WITHIN the partition
+    until every chain is resolved — depth-k chains cost k cheap local
+    refolds of just the affected keys, not k driver-blocking Spark jobs
+    — and emits the resolved literal twins directly, so there is no
+    driver collect of answers and no driver-built injection frame at
+    all. The round-3 design ran up to `_MAX_CHAIN_ROUNDS` full jobs with
+    a driver collect + Arrow re-injection between each; that serial
+    driver share was the engine's one sub-0.8 scaling surface
+    (BENCH_scaling_fetch_r3.md). Timelines nobody queries cannot affect
+    any answer, so the component join also prunes the fold to queried
+    keys only. State lookups stay SYMBOLIC (origin markers) and are
+    satisfied by fetch_delta's one typed state join.
 
-    Every round folds ONLY the queried base keys' timelines — a
-    broadcast semi-join on the (driver-known, capped) queried-key set.
-    Timelines nobody queries cannot affect any answer, and the filter
-    shrinks with the unresolved set: measured on the 500k-event bench
-    epoch (9,920 pendings), round 0 resolves 9,849 and round 1 then
-    replays 71 keys' timelines instead of the whole epoch again —
-    end-to-end fetch replay 17.4s → 12.4s best-of-2 (28.7k → 40.4k
-    events/sec). The driver↔JVM hops (pend/injection frames) go through
-    `_events_df`'s Arrow path — the pickle `createDataFrame` alone cost
-    ~3.3s per 10k-pending epoch of SERIAL driver time; with it gone the
-    same replay measures 10.3s best-of-3 (48.6k events/sec).
+    `n_pk_change`: the epoch's PK-change event count when the caller's
+    stats pass already knows it (lineage_stats pk_change=True). 0 skips
+    even the edge-probe job — the common no-PK-change epoch then pays
+    nothing here.
 
-    impl="pandas" (default): Arrow-batched Python kernel. impl="expr":
-    the same fold as a JVM Catalyst aggregate (`_answers_expr`) —
-    measured SLOWER (interpreted HOF eval copies the whole fold
-    state/map per event, where the kernel mutates dicts in place);
-    kept as a cross-validating twin, both pinned equal by tests."""
-    pend_rows = _collect_pendings(events)
-    if not pend_rows:
+    impl="pandas" (default): the single-pass kernel. impl="expr": the
+    legacy round loop with the fold as a JVM Catalyst aggregate
+    (`_answers_expr`) — an algorithmically independent twin (different
+    fold engine AND different resolution strategy), pinned equal by
+    tests."""
+    if n_pk_change == 0:
         return events
-    base = events.filter(~(F.col("reset") & F.col("base_key").isNotNull()))
-    resolved = _resolve_pendings(
-        spark, base, {r["lsn"]: r for r in pend_rows}, drops, impl=impl
+    is_pending = F.col("reset") & F.col("base_key").isNotNull()
+    if impl == "expr":
+        pend_rows = _collect_pendings(events)
+        if not pend_rows:
+            return events
+        base = events.filter(~is_pending)
+        resolved = _resolve_pendings(
+            spark, base, {r["lsn"]: r for r in pend_rows}, drops
+        )
+        inj_df = _events_df(spark, resolved.values(), _NAMES)
+        # structural filter: EVERY cross-key reset row was just resolved,
+        # so drop that shape wholesale and union the literal twins back in
+        return base.unionByName(inj_df)
+
+    edges = (
+        events.filter(is_pending)
+        .select("doc_id", "base_key")
+        .limit(_PENDING_MAX + 1)
+        .collect()
     )
-    inj_df = _events_df(spark, resolved.values(), _NAMES)
-    # structural filter: EVERY cross-key reset row was just resolved, so
-    # drop that shape wholesale and union the literal twins back in
-    return base.unionByName(inj_df)
+    if not edges:
+        return events
+    if len(edges) > _PENDING_MAX:
+        raise ValueError(
+            f"more than {_PENDING_MAX} cross-key (PK-change) fetch events "
+            "in one epoch; refusing to resolve a pathological feed"
+        )
+
+    # union-find over the driver-known pending edges → chain components.
+    # A pending on key X querying key B can only depend on pendings
+    # whose doc_id is reachable through these edges, so routing each
+    # component to one partition makes every chain partition-local.
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for e in edges:
+        parent[find(e["doc_id"])] = find(e["base_key"])
+    # only QUERIED keys (base_keys) ever appear in the resolve stream:
+    # timelines nobody queries cannot affect any answer
+    queried = sorted({e["base_key"] for e in edges})
+    roots: dict[str, int] = {}
+    comp_df = spark.createDataFrame(
+        [(k, roots.setdefault(find(k), len(roots))) for k in queried],
+        "doc_id string, _comp int",
+    )
+
+    base = events.filter(~is_pending)
+    pend = events.filter(is_pending)
+    kind0 = F.lit(0).cast("int").alias("kind")
+    no_orig = F.lit(None).cast("string").alias("_orig")
+    stream = (
+        base.select(*_NAMES, kind0, no_orig)
+        .unionByName(
+            pend.select(*_NAMES, F.lit(1).cast("int").alias("kind"), no_orig)
+        )
+        .unionByName(
+            pend.select(
+                F.col("base_key").alias("doc_id"),
+                *[F.col(n) for n in _NAMES if n != "doc_id"],
+                F.lit(2).cast("int").alias("kind"),
+                F.col("doc_id").alias("_orig"),
+            ).select(*_NAMES, "kind", "_orig")
+        )
+        # inner broadcast join = queried-key filter + component tag in one
+        .join(F.broadcast(comp_df), "doc_id")
+    )
+    resolved_events = stream.repartition(F.col("_comp")).mapInPandas(
+        _chain_resolve_kernel(drops), FETCH_EVENT_SCHEMA
+    )
+    # structural filter: EVERY cross-key reset row resolves in the pass,
+    # so drop that shape wholesale and union the literal twins back in
+    return base.unionByName(resolved_events)
 
 
 def _collect_pendings(events: DataFrame) -> list[dict]:
@@ -690,9 +832,12 @@ def _resolve_pendings(
     base: DataFrame,
     unresolved: dict[int, dict],
     drops: list[tuple[int, str]],
-    impl: str = "pandas",
 ) -> dict[int, dict]:
-    """Round loop resolving the pending set → {lsn: literal event dict}."""
+    """LEGACY round loop resolving the pending set → {lsn: literal event
+    dict}, one `_answers_expr` Catalyst-aggregate job + driver collect
+    per chain round. Kept ONLY as resolve_cross_key's impl="expr"
+    cross-validating twin; the default path is the single-pass
+    `_chain_resolve_kernel`."""
     kind0 = F.lit(0).cast("int").alias("kind")
     resolved: dict[int, dict] = {}
     ans_names = [f.name for f in _ANSWER_SCHEMA.fields]
@@ -731,14 +876,7 @@ def _resolve_pendings(
             "doc_id string",
         )
         stream = stream.join(F.broadcast(queried), "doc_id", "left_semi")
-        if impl == "expr":
-            answers = _answers_expr(stream, drops).collect()
-        else:
-            answers = (
-                stream.repartition(F.col("doc_id"))
-                .mapInPandas(_query_fold_kernel(drops), _ANSWER_SCHEMA)
-                .collect()
-            )
+        answers = _answers_expr(stream, drops).collect()
         progressed = False
         for r in answers:
             a = dict(zip(ans_names, r))
@@ -1031,6 +1169,7 @@ def build_fetch_delta(
     table,
     batch: DataFrame,
     drops: list[tuple[int, str]],
+    n_pk_change: int | None = None,
 ) -> DataFrame:
     """Full fetch pipeline for one epoch: normalize → cross-key resolve
     → per-key replay → typed state join. Returns phys delta rows ready
@@ -1042,7 +1181,9 @@ def build_fetch_delta(
     # pass would otherwise each recompute the normalize explode over the
     # raw batch (cache is epoch-scoped, released with the winners)
     events = track_persist(normalize_fetch(batch))
-    return fetch_delta_from_events(spark, table, events, drops)
+    return fetch_delta_from_events(
+        spark, table, events, drops, n_pk_change=n_pk_change
+    )
 
 
 def fetch_delta_from_events(
@@ -1051,6 +1192,7 @@ def fetch_delta_from_events(
     events: DataFrame,
     drops: list[tuple[int, str]],
     winners_impl: str = "pandas",
+    n_pk_change: int | None = None,
 ) -> DataFrame:
     """resolve → per-key replay → typed state join, over ALREADY
     normalized fetch events (FETCH_EVENT_SCHEMA). The multi-table router
@@ -1074,7 +1216,7 @@ def fetch_delta_from_events(
     filter already minimizes the round-0 fold; the fused pass's
     tainted-key patch fold and larger persisted frame offset the saved
     fold, so the simpler unfused pipeline stays."""
-    events = resolve_cross_key(spark, events, drops)
+    events = resolve_cross_key(spark, events, drops, n_pk_change=n_pk_change)
     kernel = fetch_winners_expr if winners_impl == "expr" else fetch_winners
     winners = track_persist(kernel(events, drops))
     state = table.read_resolved(spark)

@@ -50,7 +50,7 @@ _DDL_PROBE_MAX = 10_000
 # read time); imported above and re-exported for former callers.
 
 
-def lineage_stats(raw: DataFrame) -> DataFrame:
+def lineage_stats(raw: DataFrame, pk_change: bool = False) -> DataFrame:
     """Per-partition offset range + op counts (F3) AND the partition's
     DDL events, in ONE narrow aggregation over a pruned 4-column scan.
 
@@ -58,14 +58,35 @@ def lineage_stats(raw: DataFrame) -> DataFrame:
     nulls non-DDL rows produce) drops the per-micro-batch Spark job
     count from 3 to 2 — at 10^10 events the per-epoch barrier count is
     a throughput term of its own. DDL volume is tiny by design, so
-    carrying the events through the aggregate is free."""
+    carrying the events through the aggregate is free.
+
+    `pk_change=True` adds an `n_pk_change` counter (updates whose
+    before/after doc_id differ) — fetch mode uses it to skip the
+    cross-key resolve pass (and its probe job) outright on the common
+    no-PK-change epoch. Opt-in because it widens the pruned scan by the
+    two nested doc_id leaves; carry mode never needs it."""
     ddl_evt = F.when(
         F.col("op_type") == "DDL",
         F.struct(F.col("lsn"), F.col("table"), F.col("ddl_kind"), F.col("ddl_payload")),
     )
+    pkc = (
+        [
+            F.sum(
+                F.when(
+                    (F.col("op_type") == "U")
+                    & F.col("before.doc_id").isNotNull()
+                    & (F.col("before.doc_id") != F.col("after.doc_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_pk_change")
+        ]
+        if pk_change
+        else []
+    )
     return (
         raw.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
+            *pkc,
             F.min("lsn").alias("min_lsn"),
             F.max("lsn").alias("max_lsn"),
             F.sum(F.when(F.col("op_type") == "I", 1).otherwise(0)).alias("n_insert"),
@@ -161,7 +182,7 @@ def apply_batch(
         )
 
     # -- phase 1: one pruned pass → per-partition lineage + DDL barrier --
-    lineage = lineage_stats(batch).collect()
+    lineage = lineage_stats(batch, pk_change=(images == "fetch")).collect()
     n_unknown = int(sum(r["n_unknown"] for r in lineage))
     if n_unknown:
         # strict like the reference's Kudu sink (CDCKudu.java:171-173);
@@ -203,7 +224,8 @@ def apply_batch(
     if images == "fetch":
         from cdc_spark.operators.fetch import build_fetch_delta
 
-        delta = build_fetch_delta(spark, table, batch, drops)
+        n_pkc = int(sum(r["n_pk_change"] for r in lineage))
+        delta = build_fetch_delta(spark, table, batch, drops, n_pk_change=n_pkc)
     else:
         events = normalize(batch, impl=normalize_impl)
         deduped = lww_dedupe(events, key="doc_id", order="lsn", mode=dedupe_mode)
@@ -402,6 +424,23 @@ def apply_batch_multi(
     # -- phase 0: one pruned pass → per-table stats (which tables, how
     # many events, lsn range — the per-table redelivery fingerprint) +
     # the unknown-op guard, folded so no extra full scan is needed ------
+    # n_pk_change feeds the fetch tail's resolve-skip; it is NOT part of
+    # per_table (the journal's redelivery fingerprint — widening that
+    # dict would break equality against epochs committed by older code)
+    pkc = (
+        [
+            F.sum(
+                F.when(
+                    (F.col("op_type") == "U")
+                    & F.col("before.doc_id").isNotNull()
+                    & (F.col("before.doc_id") != F.col("after.doc_id")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_pkc")
+        ]
+        if images == "fetch"
+        else []
+    )
     stats_rows = batch.groupBy("table").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("lsn").alias("lo"), F.max("lsn").alias("hi"),
@@ -412,11 +451,17 @@ def apply_batch_multi(
                 1,
             ).otherwise(0)
         ).alias("n_unknown"),
+        *pkc,
     ).collect()
     per_table = {
         r["table"]: {"n_events": r["n"], "min_lsn": r["lo"], "max_lsn": r["hi"]}
         for r in stats_rows
     }
+    pkc_by_table = (
+        {r["table"]: int(r["n_pkc"]) for r in stats_rows}
+        if images == "fetch"
+        else {}
+    )
     n_unknown = int(sum(r["n_unknown"] for r in stats_rows))
     if n_unknown:
         raise ValueError(
@@ -486,6 +531,7 @@ def apply_batch_multi(
                 dedupe_mode=dedupe_mode, normalize_impl=normalize_impl,
             )
         slices = _stage_slices(stage_dir)
+    fetch_tails: list[str] = []
     for name in names:
         table = router.get(name)
         if table.has_epoch(epoch):
@@ -507,22 +553,44 @@ def apply_batch_multi(
                 stats=per_table[name],
             )
         elif images == "fetch":
-            from cdc_spark.caching import release_persisted
-            from cdc_spark.operators.fetch import (
-                FETCH_EVENT_SCHEMA, fetch_delta_from_events,
-            )
+            fetch_tails.append(name)
+        else:
+            table.commit_delta_ref(spark, epoch, ref, stats=per_table[name])
+        applied.append(name)
+    if fetch_tails:
+        # fetch tails (resolve → replay → state join → delta write) run
+        # several jobs per TABLE; serializing them makes multi-table
+        # epochs O(tables) in job-barrier latency. Driver threads submit
+        # the tables' jobs concurrently so their stages interleave on
+        # the executors — the carry path's journal-only ref-commits need
+        # none of this, but a fetch tail is real per-table work. Journal
+        # commits stay per-table (independent dirs), so thread isolation
+        # is by construction.
+        from concurrent.futures import ThreadPoolExecutor
 
-            events = spark.read.schema(FETCH_EVENT_SCHEMA).parquet(ref)
+        from cdc_spark.caching import release_persisted
+        from cdc_spark.operators.fetch import (
+            FETCH_EVENT_SCHEMA, fetch_delta_from_events,
+        )
+
+        def _run_tail(name: str) -> None:
+            table = router.get(name)
+            events = spark.read.schema(FETCH_EVENT_SCHEMA).parquet(slices[name])
             delta = fetch_delta_from_events(
-                spark, table, events, drops_by_table.get(name, [])
+                spark, table, events, drops_by_table.get(name, []),
+                n_pk_change=pkc_by_table.get(name),
             )
             table.commit_delta(
                 delta, epoch, stats=per_table[name], pre_partitioned=True
             )
-            release_persisted()  # the winners cache is slice-scoped
+
+        if len(fetch_tails) == 1:
+            _run_tail(fetch_tails[0])
         else:
-            table.commit_delta_ref(spark, epoch, ref, stats=per_table[name])
-        applied.append(name)
+            with ThreadPoolExecutor(max_workers=min(8, len(fetch_tails))) as ex:
+                # list() re-raises the first tail failure
+                list(ex.map(_run_tail, fetch_tails))
+        release_persisted()  # the winners caches are epoch-scoped
     _sweep_stage(router, os.path.join(router.root, "_mt_stage"))
 
     dt = time.monotonic() - t0
@@ -681,6 +749,7 @@ def replay(
     stats_out: list | None = None,
     wire: str = "parquet",
     images: str = "carry",
+    compact_budget: int | None = None,
 ) -> TargetTable:
     """Batch replay driver: one apply_batch per segment, in epoch order.
 
@@ -688,8 +757,11 @@ def replay(
     replay again resumes — already-committed epochs no-op. `stats_out`
     (a caller-supplied list) collects each apply_batch result dict —
     per-epoch seconds let benchmarks separate JIT-cold first epochs
-    from steady-state throughput."""
-    table = TargetTable(table_path, compact_every=compact_every)
+    from steady-state throughput. `compact_budget` bounds each inline
+    compaction tick to that many dirty buckets (carry the rest; see
+    TargetTable.inline_compact_budget)."""
+    table = TargetTable(table_path, compact_every=compact_every,
+                        inline_compact_budget=compact_budget)
     table.create_if_absent()
     by_epoch = list_segments(binlog_dir)
     lineage_dir = os.path.join(table_path, "_lineage") if lineage else None
@@ -830,6 +902,7 @@ def stream(
     wire: str = "parquet",
     multi: bool = False,
     images: str = "carry",
+    compact_budget: int | None = None,
 ):
     """Structured Streaming driver: readStream over the segment directory,
     foreachBatch → the same apply_batch (reference: DStream pipeline,
@@ -872,7 +945,7 @@ def stream(
             return router
         return writer.start()
 
-    table = TargetTable(table_path)
+    table = TargetTable(table_path, inline_compact_budget=compact_budget)
     table.create_if_absent()
     lineage_dir = os.path.join(table_path, "_lineage")
     staging_root = os.path.join(table_path, "_staging")
