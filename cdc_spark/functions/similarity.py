@@ -129,10 +129,10 @@ def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 8, seed: int = 42) -> n
     return centroids
 
 
-def _nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
-    """Argmin-distance cluster id as a pure column expression: an array
-    of (dist, idx) structs reduced by array_min (lexicographic → min
-    dist, ties to lowest idx). JVM-side; no UDF.
+def _nearest_centroid_entry(vec: Column, centroids: np.ndarray) -> Column:
+    """Argmin-distance (dist², idx) struct as a pure column expression:
+    an array of (dist, idx) structs reduced by array_min (lexicographic
+    → min dist, ties to lowest idx). JVM-side; no UDF.
 
     Distances are rounded to 6 decimals before the argmin so the
     assignment is reproducible across engines (the DuckDB oracle
@@ -145,7 +145,12 @@ def _nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
         diff = F.zip_with(vec, cl, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
         dist = F.round(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v), 6)
         entries.append(F.struct(dist.alias("dist"), F.lit(i).alias("idx")))
-    return F.array_min(F.array(*entries))["idx"]
+    return F.array_min(F.array(*entries))
+
+
+def _nearest_centroid(vec: Column, centroids: np.ndarray) -> Column:
+    """Argmin-distance cluster id (see _nearest_centroid_entry)."""
+    return _nearest_centroid_entry(vec, centroids)["idx"]
 
 
 def _probe_clusters(centroids: np.ndarray, query_vec, n_probe: int) -> list[int]:
@@ -228,14 +233,206 @@ def build_ivf_index(
         centroids = _kmeans_fit(sample, n_clusters, seed=seed)
     else:
         centroids = np.asarray(centroids, dtype=np.float64)
-    assigned = df.select(
-        F.col(id_col), F.col(vec_col),
-        _nearest_centroid(F.col(vec_col), centroids).alias("_cluster"),
-    )
-    assigned.write.mode("overwrite").partitionBy("_cluster").parquet(path)
+    # per-cluster quantization stats (seeding append_ivf_delta's drift
+    # tracking) fold into the write job as Observation metrics — the
+    # build stays a single job, so the indexed-query bench entry pays
+    # nothing for the maintenance bookkeeping. _stats.json is
+    # underscore-prefixed → invisible to Spark's data/partition
+    # discovery, like _centroids.json.
+    stats = _assign_and_write(df, path, centroids, vec_col, id_col)
     with open(os.path.join(path, "_centroids.json"), "w") as f:
         json.dump(centroids.tolist(), f)
+    _write_ivf_stats(path, {
+        "clusters": stats, "delta_clusters": {}, "delta_dirs": [],
+    })
     return centroids
+
+
+def _assign_and_write(
+    df: DataFrame, outdir: str, centroids: np.ndarray,
+    vec_col: str, id_col: str,
+) -> dict:
+    """Assign vectors under the frozen quantizer, write them partitioned
+    by `_cluster`, and return {cluster: {n, sum_d2}} quantization stats
+    — all in ONE job (stats ride the write as Observation metrics)."""
+    from pyspark.sql import Observation
+
+    entry = _nearest_centroid_entry(F.col(vec_col), centroids)
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col),
+        entry["idx"].alias("_cluster"), entry["dist"].alias("_d2"),
+    )
+    obs = Observation()
+    aggs = []
+    for c in range(len(centroids)):
+        hit = F.col("_cluster") == c
+        aggs.append(F.sum(F.when(hit, 1).otherwise(0)).alias(f"n{c}"))
+        aggs.append(
+            F.sum(F.when(hit, F.col("_d2")).otherwise(F.lit(0.0))).alias(f"s{c}")
+        )
+    observed = assigned.observe(obs, *aggs).drop("_d2")
+    observed.write.mode("overwrite").partitionBy("_cluster").parquet(outdir)
+    m = obs.get
+    return {
+        str(c): {"n": int(m[f"n{c}"]), "sum_d2": float(m[f"s{c}"])}
+        for c in range(len(centroids))
+        if m[f"n{c}"]
+    }
+
+
+def _write_ivf_stats(path: str, stats: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(path, "_stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(path, "_stats.json"))
+
+
+def _read_ivf_stats(path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(path, "_stats.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _merged_quant(stats: dict) -> tuple[float, float, int, int]:
+    """(base_err_sum, all_err_sum, base_n, delta_n) over the stats."""
+    base_n = sum(c["n"] for c in stats["clusters"].values())
+    base_s = sum(c["sum_d2"] for c in stats["clusters"].values())
+    d_n = sum(c["n"] for c in stats["delta_clusters"].values())
+    d_s = sum(c["sum_d2"] for c in stats["delta_clusters"].values())
+    return base_s, base_s + d_s, base_n, d_n
+
+
+def append_ivf_delta(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    drift_limit: float = 0.25,
+) -> dict:
+    """Incrementally maintain a persisted IVF index under its FROZEN
+    quantizer (P12 × CDC, VERDICT r3 item #3 — the continuously-fed
+    corpus shape, mirroring P16's delta-only near-dup maintenance):
+    assign the delta vectors with the index's centroids and append them
+    as a new `_delta/gen-NNNN/` generation partitioned by `_cluster`, so
+    probes keep pruning to matching partitions of base AND deltas while
+    the base is never rewritten. Per-cluster quantization-error stats
+    accumulate in `_stats.json`; when drift exceeds `drift_limit` the
+    return flags `rebuild_recommended` — re-fitting is a deliberate,
+    EXPLICIT maintenance action (`rebuild_ivf_index`), never an implicit
+    side effect of an append, because it rewrites O(index) bytes.
+
+    Drift = max(quantization-error growth, delta volume fraction):
+    err_ratio = (Σd² base+deltas / n) ÷ (Σd² base / n) − 1 measures how
+    much worse the frozen centroids fit the drifted distribution;
+    delta_frac guards the case where deltas fit WELL but dwarf the
+    sample the quantizer was fit on."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = np.array(json.load(f))
+    stats = _read_ivf_stats(path)
+    if stats is None:
+        # index predates stats tracking: seed base stats from the
+        # stored vectors once (one aggregate over the index; deltas
+        # cannot exist yet — only this function creates them, and it
+        # always leaves a _stats.json behind)
+        from pyspark.sql import Observation, SparkSession
+
+        spark = SparkSession.getActiveSession()
+        base_df = spark.read.parquet(path)
+        entry = _nearest_centroid_entry(F.col(vec_col), centroids)
+        rows = (
+            base_df.select(
+                F.col("_cluster"), entry["dist"].alias("_d2")
+            )
+            .groupBy("_cluster")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("_d2").alias("s"))
+            .collect()
+        )
+        stats = {
+            "clusters": {str(int(r["_cluster"])): {"n": int(r["n"]),
+                                                   "sum_d2": float(r["s"])}
+                         for r in rows},
+            "delta_clusters": {},
+            "delta_dirs": [],
+        }
+    gen = len(stats["delta_dirs"])
+    gen_dir = os.path.join(path, "_delta", f"gen-{gen:04d}")
+    dstats = _assign_and_write(df, gen_dir, centroids, vec_col, id_col)
+    for c, s in dstats.items():
+        acc = stats["delta_clusters"].setdefault(c, {"n": 0, "sum_d2": 0.0})
+        acc["n"] += s["n"]
+        acc["sum_d2"] += s["sum_d2"]
+    stats["delta_dirs"].append(f"_delta/gen-{gen:04d}")
+    _write_ivf_stats(path, stats)
+
+    base_s, all_s, base_n, d_n = _merged_quant(stats)
+    base_mean = base_s / base_n if base_n else 0.0
+    all_mean = all_s / (base_n + d_n) if base_n + d_n else 0.0
+    err_ratio = (all_mean / base_mean - 1.0) if base_mean > 0 else (
+        float("inf") if d_n else 0.0
+    )
+    delta_frac = d_n / base_n if base_n else float("inf")
+    drift = max(err_ratio, delta_frac)
+    return {
+        "gen": gen,
+        "n_appended": sum(s["n"] for s in dstats.values()),
+        "err_ratio": err_ratio,
+        "delta_frac": delta_frac,
+        "drift": drift,
+        "rebuild_recommended": drift > drift_limit,
+    }
+
+
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    fit_sample: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """Re-fit the quantizer over base+deltas and rewrite the index — the
+    explicit maintenance pass append_ivf_delta's drift flag asks for.
+    Builds to a sibling dir, then atomically swaps."""
+    import os
+    import shutil
+
+    allv = _ivf_all_dirs(spark, path).select(id_col, vec_col)
+    tmp = path + ".rebuild"
+    shutil.rmtree(tmp, ignore_errors=True)
+    centroids = build_ivf_index(
+        allv, tmp, vec_col=vec_col, id_col=id_col,
+        n_clusters=n_clusters, fit_sample=fit_sample, seed=seed,
+    )
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return centroids
+
+
+def _ivf_all_dirs(spark, path: str) -> DataFrame:
+    """base ∪ delta generations; each dir is its own partitioned read so
+    every side keeps `_cluster` partition pruning."""
+    import glob
+    import os
+
+    out = spark.read.parquet(path)
+    for d in sorted(glob.glob(os.path.join(path, "_delta", "gen-*"))):
+        out = out.unionByName(spark.read.parquet(d))
+    return out
 
 
 def ivf_index_topk(
@@ -251,14 +448,17 @@ def ivf_index_topk(
     """Query a persisted IVF index: pick the n_probe nearest centroids
     driver-side, then scan only those `_cluster=` partitions (the filter
     is a partition filter — check PartitionFilters in the plan) and
-    exact-rank the candidates."""
+    exact-rank the candidates. Delta generations appended by
+    `append_ivf_delta` join the scan with the SAME pruning — each
+    generation is its own partitioned read, so the probe filter reaches
+    every side's PartitionFilters."""
     import json
     import os
 
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = np.array(json.load(f))
     probe = _probe_clusters(centroids, query_vec, n_probe)
-    cand = spark.read.parquet(path).filter(
+    cand = _ivf_all_dirs(spark, path).filter(
         F.col("_cluster").isin([int(p) for p in probe])
     )
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])

@@ -61,6 +61,80 @@ def test_ivf_index_partition_pruning(spark, vecs, query, tmp_path):
     assert got == mem
 
 
+def test_ivf_incremental_append_equals_full_build(spark, vecs, query, tmp_path):
+    """P12 × CDC (VERDICT r3 item #3): appending deltas under the frozen
+    quantizer must (a) answer identically to indexing the full corpus,
+    (b) keep partition pruning on base AND delta scans, (c) not rewrite
+    the base."""
+    import os
+
+    from cdc_spark.functions.similarity import (
+        append_ivf_delta, build_ivf_index, ivf_index_topk,
+    )
+    from cdc_spark.plans.inspect import formatted_plan
+    from pyspark.sql import functions as F
+
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    # frozen quantizer shared by both builds
+    centroids = build_ivf_index(vecs, full, n_clusters=8)
+    build_ivf_index(vecs.filter(F.col("vec_id") % 3 != 2), inc,
+                    centroids=centroids)
+    base_files = {
+        os.path.join(r, f): os.stat(os.path.join(r, f)).st_mtime_ns
+        for r, _d, fs in os.walk(inc) for f in fs if f.endswith(".parquet")
+    }
+    rep = append_ivf_delta(vecs.filter(F.col("vec_id") % 3 == 2), inc)
+    assert rep["gen"] == 0 and rep["n_appended"] > 0
+    # base untouched — append wrote only the delta generation
+    for p, m in base_files.items():
+        assert os.stat(p).st_mtime_ns == m
+    q = ivf_index_topk(spark, inc, query, k=10, n_probe=3)
+    plan = formatted_plan(q)
+    # both the base scan and the delta-generation scan prune partitions
+    pruned = [p for p in plan.split("PartitionFilters")[1:] if "_cluster" in p[:200]]
+    assert len(pruned) >= 2, plan
+    got = [tuple(r) for r in q.collect()]
+    want = [tuple(r) for r in ivf_index_topk(spark, full, query, k=10,
+                                             n_probe=3).collect()]
+    assert got == want
+
+
+def test_ivf_drift_flags_rebuild(spark, vecs, tmp_path):
+    """A delta whose vectors the frozen quantizer fits poorly (or that
+    dwarfs the fitted corpus) must flag rebuild_recommended; a small
+    in-distribution delta must not. rebuild_ivf_index then re-fits over
+    base+deltas and clears the deltas."""
+    import glob
+    import os
+
+    from cdc_spark.functions.similarity import (
+        append_ivf_delta, build_ivf_index, ivf_index_topk, rebuild_ivf_index,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(vecs, path, n_clusters=8)
+    small = vecs.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    assert not append_ivf_delta(small, path)["rebuild_recommended"]
+    # far-off-distribution delta → quantization error explodes
+    far = vecs.filter(F.col("vec_id") < 60).select(
+        (F.col("vec_id") + 20_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(50.0)).alias("embedding"),
+    )
+    rep = append_ivf_delta(far, path)
+    assert rep["rebuild_recommended"] and rep["err_ratio"] > 0.25
+    n_before = ivf_index_topk(spark, path, [50.0] * 16, k=10, n_probe=8).count()
+    rebuild_ivf_index(spark, path, n_clusters=8)
+    assert not glob.glob(os.path.join(path, "_delta", "gen-*"))
+    assert os.path.isfile(os.path.join(path, "_stats.json"))
+    # all vectors survive the rebuild
+    assert ivf_index_topk(spark, path, [50.0] * 16, k=10, n_probe=8).count() \
+        == n_before
+
+
 def test_lsh_candidates_subset_ranked_exactly(vecs, query):
     rows = lsh_topk(vecs, query, k=5, n_planes=10, max_hamming=3).collect()
     assert rows[0]["vec_id"] == 0  # query vector always survives its own buckets
