@@ -302,6 +302,37 @@ def _q_emb_topk_ivf_indexed(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_emb_topk_ivf_inc(spark, sf):
+    """P12 × CDC: incrementally-maintained IVF index. Build the index
+    from HALF the corpus, append the other half as two delta
+    generations under the frozen quantizer (append_ivf_delta), then
+    probe base+deltas with partition pruning on every side. Because the
+    per-vector assignment is append-time-invariant, the result is
+    identical to indexing the full corpus — so the SAME frozen-quantizer
+    SQL oracle pins it exactly."""
+    from cdc_spark.functions.ivf_centroids import FIXED_CENTROIDS
+    from cdc_spark.functions.similarity import (
+        append_ivf_delta, build_ivf_index, ivf_index_topk,
+    )
+
+    e = _load(spark, sf, "embeddings")
+    work = tempfile.mkdtemp(prefix="cdc_ivf_inc_")
+    try:
+        build_ivf_index(
+            e.filter(F.col("vec_id") % 4 < 2), f"{work}/index",
+            centroids=FIXED_CENTROIDS,
+        )
+        for m in (2, 3):
+            rep = append_ivf_delta(
+                e.filter(F.col("vec_id") % 4 == m), f"{work}/index"
+            )
+            assert rep["gen"] == m - 2 and rep["n_appended"] > 0
+        out = ivf_index_topk(spark, f"{work}/index", _query_vec(spark, sf), k=10)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_emb_topk_ivf(spark, sf):
     from cdc_spark.functions.ivf_centroids import FIXED_CENTROIDS
     from cdc_spark.functions.similarity import ivf_topk
@@ -518,6 +549,19 @@ def _q_lineitem_pricing(spark, sf):
     )
 
 
+def _read_binlog_rows(binlog_dir: str) -> list[dict]:
+    """All segment rows as plain dicts via pyarrow (no Spark) — the
+    input to in-process oracle digests."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    rows: list[dict] = []
+    for seg in sorted(_glob.glob(f"{binlog_dir}/segment-*.parquet")):
+        rows.extend(_pq.read_table(seg).to_pylist())
+    return rows
+
+
 def _q_streaming_stats(spark, sf):
     """P13: applyInPandasWithState running per-source stats, driven as a
     real Structured Streaming query (availableNow) over a generated
@@ -545,6 +589,7 @@ def _q_streaming_stats(spark, sf):
             .start()
         )
         q.awaitTermination()
+        feed_rows = _read_binlog_rows(f"{work}/binlog")
     finally:
         shutil.rmtree(work, ignore_errors=True)
     final: dict = {}
@@ -552,7 +597,34 @@ def _q_streaming_stats(spark, sf):
         cur = final.get(r["source"])
         if cur is None or r["n_events"] > cur["n_events"]:
             final[r["source"]] = r.asDict()
-    return spark.createDataFrame(sorted(final.values(), key=lambda d: d["source"]))
+    # in-process oracle digest (VERDICT r3 item #5): recompute the same
+    # per-source totals single-threaded from the generated feed with
+    # pyarrow — no Spark — so the stateful stream's result carries its
+    # own equivalence pin under the driver's rows-only check
+    exp: dict[str, dict] = {}
+    for row in feed_rows:
+        if row["op_type"] not in ("I", "U", "D"):
+            continue
+        src = (
+            (row.get("after") or {}).get("source")
+            or (row.get("before") or {}).get("source")
+            or "?"
+        )
+        s = exp.setdefault(src, {"n_events": 0, "n_deletes": 0, "last_lsn": -1})
+        s["n_events"] += 1
+        s["n_deletes"] += row["op_type"] == "D"
+        s["last_lsn"] = max(s["last_lsn"], row["lsn"])
+    matches = set(exp) == set(final) and all(
+        final[k]["n_events"] == v["n_events"]
+        and final[k]["n_deletes"] == v["n_deletes"]
+        and final[k]["last_lsn"] == v["last_lsn"]
+        for k, v in exp.items()
+    )
+    rows = [
+        {**d, "oracle_rows": len(exp), "matches_oracle": matches}
+        for d in sorted(final.values(), key=lambda d: d["source"])
+    ]
+    return spark.createDataFrame(rows)
 
 
 def _q_windowed_agg(spark, sf):
@@ -869,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_topk_lsh": _q_emb_topk_lsh,
         "emb_cosine_topk_ivf": _q_emb_topk_ivf,
         "emb_cosine_topk_ivf_indexed": _q_emb_topk_ivf_indexed,
+        "emb_cosine_topk_ivf_inc": _q_emb_topk_ivf_inc,
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "cdc_streaming_source_stats": _q_streaming_stats,
         "cdc_replay_final_state": _q_replay_final,
@@ -1139,6 +1212,9 @@ def oracle_sql() -> dict[str, str]:
         # persisted-index form probes the same frozen quantizer, so the
         # oracle is identical
         "emb_cosine_topk_ivf_indexed": sql_ivf_topk(_FIXED_CENTROIDS, k=10, n_probe=4),
+        # incremental maintenance is assignment-invariant under the
+        # frozen quantizer, so the full-corpus IVF oracle pins it exactly
+        "emb_cosine_topk_ivf_inc": sql_ivf_topk(_FIXED_CENTROIDS, k=10, n_probe=4),
         # cdc_replay_final_state (full engine replay) and
         # cdc_streaming_source_stats (stateful stream): rows-only
     }
