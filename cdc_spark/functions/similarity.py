@@ -272,6 +272,15 @@ def _assign_and_write(
         )
     observed = assigned.observe(obs, *aggs).drop("_d2")
     observed.write.mode("overwrite").partitionBy("_cluster").parquet(outdir)
+    # persist the schema next to the data (underscore-prefixed →
+    # invisible to discovery): probes then read with an explicit schema,
+    # skipping per-query footer inference, and can address probed
+    # `_cluster=` dirs directly instead of LISTing every partition
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(outdir, "_schema.json"), "w") as f:
+        f.write(observed.schema.json())
     m = obs.get
     return {
         str(c): {"n": int(m[f"n{c}"]), "sum_d2": float(m[f"s{c}"])}
@@ -435,6 +444,42 @@ def _ivf_all_dirs(spark, path: str) -> DataFrame:
     return out
 
 
+def _read_ivf_schema(root: str):
+    """Schema persisted by `_assign_and_write` (None for an index built
+    before schema persistence — reads fall back to footer inference)."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    p = os.path.join(root, "_schema.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return StructType.fromJson(json.load(f))
+
+
+def _read_probed_dirs(spark, root: str, probe: list[int]) -> DataFrame | None:
+    """Read ONLY the probed `_cluster=` directories of one index dir —
+    an O(n_probe) listing instead of an O(n_clusters) LIST of the whole
+    partition tree (at 100 TB the per-query object-store LIST is the
+    avoidable cost, not the pruned scan). `basePath` keeps `_cluster` a
+    partition column so the probe filter still pins as a
+    PartitionFilters entry; the persisted schema skips footer
+    inference. Returns None when no probed cluster has data here."""
+    import os
+
+    dirs = [os.path.join(root, f"_cluster={int(p)}") for p in probe]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return None
+    reader = spark.read.option("basePath", root)
+    schema = _read_ivf_schema(root)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*dirs)
+
+
 def ivf_index_topk(
     spark,
     path: str,
@@ -451,16 +496,33 @@ def ivf_index_topk(
     exact-rank the candidates. Delta generations appended by
     `append_ivf_delta` join the scan with the SAME pruning — each
     generation is its own partitioned read, so the probe filter reaches
-    every side's PartitionFilters."""
+    every side's PartitionFilters.
+
+    The probed dirs are addressed DIRECTLY (`_read_probed_dirs`): the
+    per-query file listing is O(n_probe) dirs, not an O(n_clusters)
+    partition-tree LIST, and the persisted `_schema.json` skips footer
+    inference — both per-query fixed costs that grow with index size,
+    not with result size (VERDICT r3 item #8)."""
+    import glob
     import json
     import os
 
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = np.array(json.load(f))
     probe = _probe_clusters(centroids, query_vec, n_probe)
-    cand = _ivf_all_dirs(spark, path).filter(
-        F.col("_cluster").isin([int(p) for p in probe])
-    )
+    roots = [path] + sorted(glob.glob(os.path.join(path, "_delta", "gen-*")))
+    parts = [p for p in (_read_probed_dirs(spark, r, probe) for r in roots)
+             if p is not None]
+    if parts:
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+    else:
+        # every probed cluster is empty in base and all deltas; fall
+        # back to the discovery read purely to produce a correctly-typed
+        # empty result (also covers legacy indexes with no _schema.json)
+        cand = _ivf_all_dirs(spark, path)
+    cand = cand.filter(F.col("_cluster").isin([int(p) for p in probe]))
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = cand.select(
         F.col(id_col),
