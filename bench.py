@@ -66,6 +66,8 @@ HEADLINE = [
     "doc_dup_clusters",
     "doc_dup_clusters_inc",
     "corpus_stratified_sample",
+    # added round 4
+    "emb_cosine_topk_ivf_inc",
 ]
 
 #: key-only fetch replay is ~an order heavier per event than carry

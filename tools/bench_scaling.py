@@ -97,6 +97,12 @@ def main() -> int:
                     help="feed shape: full before/after images (carry "
                          "replay) or key-only CT shape (fetch replay)")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--zipf", type=float, default=1.2,
+                    help="key-skew exponent (GenConfig.zipf_s). 0.0 = "
+                         "uniform keys — isolates the fetch fold's "
+                         "hot-key critical path from the efficiency "
+                         "measurement (the hottest Zipf-1.2 key's "
+                         "timeline folds serially inside one task)")
     ap.add_argument("--out", default="BENCH_scaling.md",
                     help="markdown report path relative to the repo root "
                          "(deliberately NOT BENCH.md — that file carries "
@@ -118,7 +124,8 @@ def main() -> int:
         print(f"generating {args.events} events → {binlog}", file=sys.stderr)
         writer(
             GenConfig(n_events=args.events, n_docs=args.docs,
-                      events_per_epoch=args.epoch_size, seed=42),
+                      events_per_epoch=args.epoch_size, seed=42,
+                      zipf_s=args.zipf),
             binlog,
             parts=args.parts,
         )
@@ -171,6 +178,7 @@ def main() -> int:
     summary = {
         "metric": "replay scaling efficiency (local[N] vs local[4N])",
         "images": args.images,
+        "zipf": args.zipf,
         "events": args.events,
         "throughput": {c: results[c]["events_per_sec"] for c in core_list},
         "seconds": {c: results[c]["seconds"] for c in core_list},
