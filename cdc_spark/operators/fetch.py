@@ -58,6 +58,17 @@ from cdc_spark.schema import SPARK_TYPE
 
 _PENDING_MAX = 50_000
 
+#: queried keys per resolve-kernel partition: the chain-resolve shuffle
+#: is sized to the PENDING workload, not the session's shuffle default —
+#: a handful of pendings must not fan out into (cluster-default) mostly
+#: empty mapInPandas tasks, each paying a Python-worker round trip
+#: (measured: on a host with degraded fork/IPC, 32 near-empty kernel
+#: tasks for 10k pendings cost ~30% of a 500k-event epoch). Small
+#: enough that a hot queried key's (inherently serial) fold does not
+#: also serialize unrelated components behind it; grows with the
+#: pending set, capped at the session parallelism.
+_QUERIED_PER_PART = 128
+
 #: above this many needy keys, the fetched-image set (full rows with
 #: token arrays) may not fit an executor broadcast — the image join
 #: degrades to a shuffled join of O(needy) state rows (the broadcast
@@ -728,9 +739,19 @@ def resolve_cross_key(
         )
 
     # union-find over the driver-known pending edges → chain components.
-    # A pending on key X querying key B can only depend on pendings
-    # whose doc_id is reachable through these edges, so routing each
-    # component to one partition makes every chain partition-local.
+    # The dependency is DIRECTED: a pending on key X querying key B
+    # needs B's folded timeline, and folding B in turn needs answers for
+    # B's OWN pendings — so X–B must co-locate only when X's timeline is
+    # itself folded here, i.e. when X is a QUERIED key. Sibling
+    # dependents of the same base key need B but not each other; a
+    # non-queried dependent's twin is emitted straight from its query
+    # row in B's partition (its kind-1 placeholder is dropped by the
+    # comp join below, and the kernel never refolds an unqueried key).
+    # Unioning every edge undirected would glue all siblings of a hub
+    # key into one component — measured on a Zipf-1.2 500k-event epoch:
+    # 9,920 edges collapse into one 7,606-key component (one serial
+    # kernel task); the chain-edge-restricted union yields 1,520
+    # components, largest 213 (only 395 edges have a queried dependent).
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -741,11 +762,13 @@ def resolve_cross_key(
             parent[x], x = root, parent[x]
         return root
 
-    for e in edges:
-        parent[find(e["doc_id"])] = find(e["base_key"])
     # only QUERIED keys (base_keys) ever appear in the resolve stream:
     # timelines nobody queries cannot affect any answer
-    queried = sorted({e["base_key"] for e in edges})
+    queried_set = {e["base_key"] for e in edges}
+    for e in edges:
+        if e["doc_id"] in queried_set:  # true chain edge
+            parent[find(e["doc_id"])] = find(e["base_key"])
+    queried = sorted(queried_set)
     roots: dict[str, int] = {}
     comp_df = spark.createDataFrame(
         [(k, roots.setdefault(find(k), len(roots))) for k in queried],
@@ -772,7 +795,11 @@ def resolve_cross_key(
         # inner broadcast join = queried-key filter + component tag in one
         .join(F.broadcast(comp_df), "doc_id")
     )
-    resolved_events = stream.repartition(F.col("_comp")).mapInPandas(
+    n_parts = max(1, min(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        -(-len(queried) // _QUERIED_PER_PART),
+    ))
+    resolved_events = stream.repartition(n_parts, F.col("_comp")).mapInPandas(
         _chain_resolve_kernel(drops), FETCH_EVENT_SCHEMA
     )
     # structural filter: EVERY cross-key reset row resolves in the pass,
