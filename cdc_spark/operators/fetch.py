@@ -69,6 +69,13 @@ _PENDING_MAX = 50_000
 #: pending set, capped at the session parallelism.
 _QUERIED_PER_PART = 128
 
+#: epoch DML rows per winners-fold partition: the fold exchange is
+#: likewise sized to the epoch (ceil(n_events/this), uncapped — a
+#: 100M-event epoch legitimately wants more folds than the session
+#: default, bounding each task's pandas slice; a 500k-event epoch
+#: wants ~8, not a cluster-sized fan-out of tiny Python tasks).
+_EVENTS_PER_FOLD_PART = 65_536
+
 #: above this many needy keys, the fetched-image set (full rows with
 #: token arrays) may not fit an executor broadcast — the image join
 #: degrades to a shuffled join of O(needy) state rows (the broadcast
@@ -930,7 +937,10 @@ def _resolve_pendings(
     return resolved
 
 
-def fetch_winners(events: DataFrame, drops: list[tuple[int, str]]) -> DataFrame:
+def fetch_winners(
+    events: DataFrame, drops: list[tuple[int, str]],
+    n_events: int | None = None,
+) -> DataFrame:
     """Hash-partition by doc_id → ONE sequential pass per partition
     (sort by (doc_id, lsn), fold each key's chain, emit one winner row
     per key).
@@ -939,8 +949,17 @@ def fetch_winners(events: DataFrame, drops: list[tuple[int, str]]) -> DataFrame:
     per-key UDF pays pandas-DataFrame construction per GROUP (~ms), which
     at 10^5 keys/epoch dominates the epoch. Here the per-partition cost
     is one concat + one sort + one linear python fold; partition memory
-    is bounded by the doc_id hash partitioning (size shuffle partitions
-    so a partition's epoch slice fits, as for any shuffle)."""
+    is bounded by the doc_id hash partitioning.
+
+    `n_events` (the epoch's DML count — fetch mode always runs the
+    stats pre-pass, so callers have it for free) sizes the fold
+    exchange to the DATA, ceil(n_events/_EVENTS_PER_FOLD_PART)
+    partitions, uncapped: a big epoch gets more folds than the session
+    default (bounding per-task pandas memory), a small one gets fewer
+    Python-worker round trips. AQE cannot do this here — coalescing
+    skips user repartitions and a REBALANCE hint may split one key's
+    timeline across tasks, which the fold cannot tolerate. Without the
+    count, the session shuffle default applies."""
     import pandas as pd
 
     def run_partition(batches):
@@ -975,7 +994,12 @@ def fetch_winners(events: DataFrame, drops: list[tuple[int, str]]) -> DataFrame:
             out_rows.append(_winner_of(ch, drops))
         yield pd.DataFrame(out_rows, columns=[f.name for f in WINNER_SCHEMA.fields])
 
-    return events.repartition(F.col("doc_id")).mapInPandas(run_partition, WINNER_SCHEMA)
+    if n_events:
+        n_parts = max(1, -(-n_events // _EVENTS_PER_FOLD_PART))
+        part = events.repartition(n_parts, F.col("doc_id"))
+    else:
+        part = events.repartition(F.col("doc_id"))
+    return part.mapInPandas(run_partition, WINNER_SCHEMA)
 
 
 def _drops_lit(drops: list[tuple[int, str]]):
@@ -1197,6 +1221,7 @@ def build_fetch_delta(
     batch: DataFrame,
     drops: list[tuple[int, str]],
     n_pk_change: int | None = None,
+    n_events: int | None = None,
 ) -> DataFrame:
     """Full fetch pipeline for one epoch: normalize → cross-key resolve
     → per-key replay → typed state join. Returns phys delta rows ready
@@ -1209,7 +1234,8 @@ def build_fetch_delta(
     # raw batch (cache is epoch-scoped, released with the winners)
     events = track_persist(normalize_fetch(batch))
     return fetch_delta_from_events(
-        spark, table, events, drops, n_pk_change=n_pk_change
+        spark, table, events, drops, n_pk_change=n_pk_change,
+        n_events=n_events,
     )
 
 
@@ -1220,6 +1246,7 @@ def fetch_delta_from_events(
     drops: list[tuple[int, str]],
     winners_impl: str = "pandas",
     n_pk_change: int | None = None,
+    n_events: int | None = None,
 ) -> DataFrame:
     """resolve → per-key replay → typed state join, over ALREADY
     normalized fetch events (FETCH_EVENT_SCHEMA). The multi-table router
@@ -1244,7 +1271,9 @@ def fetch_delta_from_events(
     tainted-key patch fold and larger persisted frame offset the saved
     fold, so the simpler unfused pipeline stays."""
     events = resolve_cross_key(spark, events, drops, n_pk_change=n_pk_change)
-    kernel = fetch_winners_expr if winners_impl == "expr" else fetch_winners
-    winners = track_persist(kernel(events, drops))
+    if winners_impl == "expr":
+        winners = track_persist(fetch_winners_expr(events, drops))
+    else:
+        winners = track_persist(fetch_winners(events, drops, n_events=n_events))
     state = table.read_resolved(spark)
     return fetch_delta(spark, winners, state, table.state()["registry"])

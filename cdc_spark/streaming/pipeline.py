@@ -225,7 +225,9 @@ def apply_batch(
         from cdc_spark.operators.fetch import build_fetch_delta
 
         n_pkc = int(sum(r["n_pk_change"] for r in lineage))
-        delta = build_fetch_delta(spark, table, batch, drops, n_pk_change=n_pkc)
+        n_dml = int(sum(r["n_insert"] + r["n_update"] + r["n_delete"] for r in lineage))
+        delta = build_fetch_delta(spark, table, batch, drops,
+                                  n_pk_change=n_pkc, n_events=n_dml)
     else:
         events = normalize(batch, impl=normalize_impl)
         deduped = lww_dedupe(events, key="doc_id", order="lsn", mode=dedupe_mode)
@@ -579,6 +581,7 @@ def apply_batch_multi(
             delta = fetch_delta_from_events(
                 spark, table, events, drops_by_table.get(name, []),
                 n_pk_change=pkc_by_table.get(name),
+                n_events=per_table[name].get("n_events"),
             )
             table.commit_delta(
                 delta, epoch, stats=per_table[name], pre_partitioned=True
