@@ -89,6 +89,28 @@ def main() -> int:
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
     queries: dict[str, float] = {}
 
+    # -- 0. host calibration (untimed vs total): a fixed pure-CPU Spark
+    # job (no IO, no shuffle, no Python workers) — its seconds expose
+    # session-to-session host speed, so BENCH_r*.json numbers compare
+    # across rounds on this noisy microVM (identical runs vary up to
+    # 1.6×; round 4's host measured ~3× slower on some paths). Runs
+    # twice, second (JIT-warm) sample reported.
+    from pyspark.sql import functions as F
+
+    cal_rows = 400_000_000
+    cal_q = (
+        spark.range(0, cal_rows, 1, CPUS * 2)
+        .select(F.max(F.xxhash64("id", F.col("id") + 1, F.col("id") * 3)))
+    )
+    cal_q.collect()  # JIT warmup
+    t0 = time.monotonic()
+    cal_q.collect()
+    host_calibration = {
+        "probe": "max(xxhash64(id,id+1,id*3)) over 400M rows, no IO/shuffle",
+        "rows": cal_rows,
+        "seconds": round(time.monotonic() - t0, 3),
+    }
+
     # -- 1. flagship end-to-end CDC replay ---------------------------------
     from cdc_spark.genlog import GenConfig, write_binlog
     from cdc_spark.streaming.pipeline import replay
@@ -175,6 +197,10 @@ def main() -> int:
         "fetch_replay_events": N_FETCH_EVENTS,
         "fetch_replay_events_per_sec": round(N_FETCH_EVENTS / fetch_sec, 1) if fetch_sec > 0 else None,
         "fetch_replay_final_rows": fetch_rows,
+        # since r5: fixed pure-CPU probe seconds — divide any query's
+        # seconds by (this / a reference session's value) to compare
+        # rounds across host-speed drift
+        "host_calibration": host_calibration,
     }))
     spark.stop()
     return 0

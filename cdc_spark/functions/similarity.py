@@ -432,14 +432,40 @@ def rebuild_ivf_index(
     return centroids
 
 
+def _ivf_gen_dirs(spark, path: str) -> list[str]:
+    """Sorted `_delta/gen-*` generation dirs of an index root. Resolved
+    through the Hadoop FileSystem API when the root carries a URI scheme
+    (object store / remote FS), else a plain driver-local listing — a
+    driver-local glob against an `s3a://...` root would silently return
+    nothing and drop every delta generation from the scan."""
+    import os
+
+    if "://" in path:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        delta = jvm.org.apache.hadoop.fs.Path(path + "/_delta")
+        fs = delta.getFileSystem(conf)
+        if not fs.exists(delta):
+            return []
+        return sorted(
+            str(s.getPath())
+            for s in fs.listStatus(delta)
+            if s.isDirectory() and s.getPath().getName().startswith("gen-")
+        )
+    d = os.path.join(path, "_delta")
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        os.path.join(d, c) for c in os.listdir(d)
+        if c.startswith("gen-") and os.path.isdir(os.path.join(d, c))
+    )
+
+
 def _ivf_all_dirs(spark, path: str) -> DataFrame:
     """base ∪ delta generations; each dir is its own partitioned read so
     every side keeps `_cluster` partition pruning."""
-    import glob
-    import os
-
     out = spark.read.parquet(path)
-    for d in sorted(glob.glob(os.path.join(path, "_delta", "gen-*"))):
+    for d in _ivf_gen_dirs(spark, path):
         out = out.unionByName(spark.read.parquet(d))
     return out
 
@@ -459,6 +485,31 @@ def _read_ivf_schema(root: str):
         return StructType.fromJson(json.load(f))
 
 
+def _probed_dir_exists(spark, root: str, d: str, has_scheme: bool) -> bool:
+    import os
+
+    if not has_scheme:
+        return os.path.isdir(d)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(d)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+
+def _dir_has_data(d: str) -> bool:
+    """True iff a (driver-local) dir holds at least one parquet part —
+    a crashed/partial write can leave an empty `_cluster=` dir behind,
+    and `reader.parquet()` without an explicit schema raises 'Unable to
+    infer schema' on an all-empty selection."""
+    import os
+
+    return any(
+        f.endswith(".parquet") or f.startswith("part-")
+        for f in os.listdir(d)
+        if os.path.isfile(os.path.join(d, f))
+    )
+
+
 def _read_probed_dirs(spark, root: str, probe: list[int]) -> DataFrame | None:
     """Read ONLY the probed `_cluster=` directories of one index dir —
     an O(n_probe) listing instead of an O(n_clusters) LIST of the whole
@@ -466,17 +517,32 @@ def _read_probed_dirs(spark, root: str, probe: list[int]) -> DataFrame | None:
     avoidable cost, not the pruned scan). `basePath` keeps `_cluster` a
     partition column so the probe filter still pins as a
     PartitionFilters entry; the persisted schema skips footer
-    inference. Returns None when no probed cluster has data here."""
+    inference. Returns None when no probed cluster has data here.
+
+    Dir existence goes through the Hadoop FileSystem API when the root
+    carries a URI scheme, so the O(n_probe) fast path holds on object
+    stores too (a driver-local isdir would silently demote every remote
+    probe to the full-tree discovery read). Legacy indexes with no
+    persisted `_schema.json` additionally skip data-less dirs — a
+    partial write's empty `_cluster=` dir would otherwise fail schema
+    inference instead of contributing zero rows."""
+    has_scheme = "://" in root
+    sep = "/" if has_scheme else None
     import os
 
-    dirs = [os.path.join(root, f"_cluster={int(p)}") for p in probe]
-    dirs = [d for d in dirs if os.path.isdir(d)]
+    join = (lambda a, b: a.rstrip("/") + "/" + b) if sep else os.path.join
+    dirs = [join(root, f"_cluster={int(p)}") for p in probe]
+    dirs = [d for d in dirs if _probed_dir_exists(spark, root, d, has_scheme)]
     if not dirs:
         return None
     reader = spark.read.option("basePath", root)
     schema = _read_ivf_schema(root)
     if schema is not None:
         reader = reader.schema(schema)
+    elif not has_scheme:
+        dirs = [d for d in dirs if _dir_has_data(d)]
+        if not dirs:
+            return None
     return reader.parquet(*dirs)
 
 
@@ -503,14 +569,13 @@ def ivf_index_topk(
     partition-tree LIST, and the persisted `_schema.json` skips footer
     inference — both per-query fixed costs that grow with index size,
     not with result size (VERDICT r3 item #8)."""
-    import glob
     import json
     import os
 
     with open(os.path.join(path, "_centroids.json")) as f:
         centroids = np.array(json.load(f))
     probe = _probe_clusters(centroids, query_vec, n_probe)
-    roots = [path] + sorted(glob.glob(os.path.join(path, "_delta", "gen-*")))
+    roots = [path] + _ivf_gen_dirs(spark, path)
     parts = [p for p in (_read_probed_dirs(spark, r, probe) for r in roots)
              if p is not None]
     if parts:

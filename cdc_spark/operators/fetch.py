@@ -959,7 +959,13 @@ def fetch_winners(
     Python-worker round trips. AQE cannot do this here — coalescing
     skips user repartitions and a REBALANCE hint may split one key's
     timeline across tasks, which the fold cannot tolerate. Without the
-    count, the session shuffle default applies."""
+    count, the session shuffle default applies.
+
+    n_events is a SIZING HEURISTIC, not an exact row count: callers pass
+    the raw feed's DML count, which over-counts by heartbeats/DDL in the
+    multi-table path and under-counts PK-change splits (each explodes to
+    two events) plus resolved twins — small constant factors that only
+    nudge the partition count, never correctness."""
     import pandas as pd
 
     def run_partition(batches):

@@ -42,6 +42,26 @@ def count_exchanges(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
+def hash_exchange_widths(df: DataFrame) -> dict[str, list[int]]:
+    """{first-key-column: [numPartitions, ...]} for every shuffle
+    hashpartitioning Exchange in the plan — pins that an exchange is
+    sized to its DATA (ceil(workload/const)) rather than silently
+    tracking spark.sql.shuffle.partitions (a cluster-width fan-out of
+    tiny Python tasks was round 4's one real perf regression)."""
+    out: dict[str, list[int]] = {}
+    # formatted mode details an Exchange as "Arguments: hashpartitioning(
+    # cols..., N), REPARTITION_BY_NUM"; simple mode inlines it as
+    # "Exchange hashpartitioning(...)" — match both
+    for m in re.finditer(
+        r"(?:Exchange |Arguments: )hashpartitioning\(([^)]*)\)",
+        formatted_plan(df),
+    ):
+        args = m.group(1).split(", ")
+        key = args[0].split("#")[0]
+        out.setdefault(key, []).append(int(args[-1]))
+    return out
+
+
 def has_partial_aggregate(df: DataFrame) -> bool:
     """True when the plan partial-aggregates before the shuffle
     (HashAggregate with a partial mode below an Exchange)."""

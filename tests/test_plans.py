@@ -147,6 +147,61 @@ def test_exact_pairs_grid_join_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def _mk_fetch_events(spark, n_docs: int, n_pkc: int):
+    """Synthetic FETCH_EVENT rows: n_docs plain inserts + n_pkc cross-key
+    PK-change I-halves (reset with base_key → resolve pendings)."""
+    from cdc_spark.operators.fetch import FETCH_EVENT_SCHEMA
+
+    rows = []
+    lsn = 0
+    for i in range(n_docs):
+        lsn += 1
+        rows.append((lsn, 0, f"d{i}", False, [1, 2], 2, "s", {}, True, True,
+                     True, None))
+    for j in range(n_pkc):
+        lsn += 1
+        rows.append((lsn, 0, f"n{j}", False, None, None, None, {}, False,
+                     False, True, f"d{j}"))
+    return spark.createDataFrame(rows, FETCH_EVENT_SCHEMA)
+
+
+def test_fetch_exchange_widths_are_data_sized(spark):
+    """VERDICT r4 #2: the winners-fold and chain-resolve exchanges must
+    be sized by their WORKLOAD (ceil(n_events/_EVENTS_PER_FOLD_PART),
+    ceil(queried/_QUERIED_PER_PART)), NOT by spark.sql.shuffle.partitions
+    — the round-4 local[32] regression (63–77 s fetch replay) was these
+    two mapInPandas exchanges fanning tiny Python tasks across a
+    session-default-wide shuffle. Runs the same plans under two shuffle
+    settings; fails if either repartition is removed (no data-sized
+    hashpartitioning exchange would remain) or starts tracking the
+    session default."""
+    import math
+
+    from cdc_spark.operators.fetch import (
+        _EVENTS_PER_FOLD_PART, _QUERIED_PER_PART, fetch_winners,
+        resolve_cross_key,
+    )
+    from cdc_spark.plans.inspect import hash_exchange_widths
+
+    n_events = 200_000  # sizing hint (not actual rows): → 4 fold parts
+    want_fold = math.ceil(n_events / _EVENTS_PER_FOLD_PART)
+    n_pkc = 300  # 300 queried keys → 3 resolve-kernel parts
+    want_resolve = math.ceil(n_pkc / _QUERIED_PER_PART)
+    events = _mk_fetch_events(spark, n_docs=400, n_pkc=n_pkc)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for sp in ("7", "29"):
+            spark.conf.set("spark.sql.shuffle.partitions", sp)
+            w = hash_exchange_widths(fetch_winners(events, [], n_events=n_events))
+            assert w.get("doc_id") == [want_fold], (sp, w)
+            r = hash_exchange_widths(
+                resolve_cross_key(spark, events, [], n_pk_change=n_pkc)
+            )
+            assert r.get("_comp") == [want_resolve], (sp, r)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_topk_plan_has_no_shuffle(spark):
     """brute_force_topk must plan as TakeOrderedAndProject (per-partition
     heaps + driver merge) — no global sort, no exchange."""

@@ -168,6 +168,36 @@ def test_ivf_drift_flags_rebuild(spark, vecs, tmp_path):
         == n_before
 
 
+def test_ivf_legacy_index_empty_cluster_dir(spark, vecs, query, tmp_path):
+    """ADVICE r4: a legacy index (no persisted `_schema.json`) where a
+    probed `_cluster=` dir exists but holds no parquet files (crashed or
+    partial write) must still answer — reader.parquet over an all-empty
+    selection would raise 'Unable to infer schema'; the probe now skips
+    data-less dirs when no schema is persisted."""
+    import json
+    import os
+
+    from cdc_spark.functions.similarity import (
+        _probe_clusters, build_ivf_index, ivf_index_topk,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(vecs, path, n_clusters=8)
+    os.remove(os.path.join(path, "_schema.json"))  # legacy index shape
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = np.array(json.load(f))
+    probe = _probe_clusters(centroids, query, 3)
+    victim = os.path.join(path, f"_cluster={int(probe[0])}")
+    for fn in os.listdir(victim):
+        fp = os.path.join(victim, fn)
+        if os.path.isfile(fp):
+            os.remove(fp)
+    rows = ivf_index_topk(spark, path, query, k=10, n_probe=3).collect()
+    assert len(rows) == 10  # the surviving probed clusters still answer
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
 def test_lsh_candidates_subset_ranked_exactly(vecs, query):
     rows = lsh_topk(vecs, query, k=5, n_planes=10, max_hamming=3).collect()
     assert rows[0]["vec_id"] == 0  # query vector always survives its own buckets
