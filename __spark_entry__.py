@@ -785,6 +785,34 @@ def _q_replay_final(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_replay_final_honest(spark, sf):
+    """State-honest twin of cdc_replay_final_state (VERDICT r4 #7): the
+    generator's default feed synthesizes U/D before-images independent
+    of accumulated state; `state_honest=True` rewrites them to the
+    oracle applier's OWN state at each lsn, so this drive exercises real
+    inter-event correlations (carry merges against values EARLIER events
+    actually established) under the same in-process oracle digest."""
+    from cdc_spark import oracle as _oracle
+    from cdc_spark.genlog import GenConfig, write_binlog
+    from cdc_spark.streaming.pipeline import replay
+
+    n_docs = _load(spark, sf, "documents").count()
+    work = tempfile.mkdtemp(prefix="cdc_entry_sh_")
+    try:
+        cfg = GenConfig(
+            n_events=10_000, n_docs=max(int(n_docs), 50),
+            events_per_epoch=1_000, seed=42, state_honest=True,
+        )
+        write_binlog(cfg, f"{work}/binlog")
+        table = replay(spark, f"{work}/binlog", f"{work}/table", lineage=False)
+        out = _summary_cols(table.read_resolved(spark))
+        state, reg = _oracle.replay(f"{work}/binlog/segment-*.parquet")
+        out = _digest_columns(out, _oracle_summary_rows(state, reg))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_fetch_replay_final(spark, sf):
     """Engine drive of the KEY-ONLY feed path (reference CT shape,
     CTInputDStream.java:112-131): generate the keys twin, fetch-replay
@@ -945,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         "cdc_streaming_source_stats": _q_streaming_stats,
         "cdc_replay_final_state": _q_replay_final,
+        "cdc_replay_final_state_honest": _q_replay_final_honest,
         "cdc_fetch_replay_final_state": _q_fetch_replay_final,
         "cdc_multi_table_replay": _q_multi_table_replay,
         "cdc_multi_table_fetch_replay": _q_multi_table_fetch_replay,

@@ -402,6 +402,56 @@ def append_ivf_delta(
     }
 
 
+def fold_ivf_delta(spark, path: str) -> dict:
+    """Merge every `_delta/gen-*` generation into the base WITHOUT
+    re-fitting (VERDICT r4 #5) — the cheap middle ground between
+    `append_ivf_delta` and `rebuild_ivf_index`.
+
+    Assignments are FROZEN (every generation was written under the
+    index's own quantizer), so the fold is a pure partitioned rewrite:
+    base ∪ generations re-written `partitionBy(_cluster)` — no centroid
+    math, no re-assignment, no k-means fit. Under a high append rate
+    with low drift (rebuild never recommended) this is the maintenance
+    valve that keeps per-probe directory listings at O(n_probe) instead
+    of O(n_probe × generations) and bounds small-file growth. Builds to
+    a sibling dir and atomically swaps, like rebuild; quantization
+    stats fold delta → base unchanged in total (the fit didn't move).
+    Returns {folded_generations, n_vectors}."""
+    import os
+    import shutil
+
+    gens = _ivf_gen_dirs(spark, path)
+    if not gens:
+        return {"folded_generations": 0, "n_vectors": 0}
+    stats = _read_ivf_stats(path) or {
+        "clusters": {}, "delta_clusters": {}, "delta_dirs": [],
+    }
+    allv = _ivf_all_dirs(spark, path)  # carries the frozen _cluster
+    tmp = path + ".fold"
+    shutil.rmtree(tmp, ignore_errors=True)
+    n = allv.count()
+    allv.write.mode("overwrite").partitionBy("_cluster").parquet(tmp)
+    with open(os.path.join(path, "_centroids.json")) as f, \
+            open(os.path.join(tmp, "_centroids.json"), "w") as g:
+        g.write(f.read())
+    with open(os.path.join(tmp, "_schema.json"), "w") as f:
+        f.write(allv.schema.json())
+    merged = dict(stats.get("clusters", {}))
+    for c, s in stats.get("delta_clusters", {}).items():
+        acc = merged.setdefault(c, {"n": 0, "sum_d2": 0.0})
+        acc["n"] += s["n"]
+        acc["sum_d2"] += s["sum_d2"]
+    _write_ivf_stats(tmp, {
+        "clusters": merged, "delta_clusters": {}, "delta_dirs": [],
+    })
+    old = path + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"folded_generations": len(gens), "n_vectors": int(n)}
+
+
 def rebuild_ivf_index(
     spark,
     path: str,

@@ -38,13 +38,18 @@ Dataflow (per epoch):
    string round-trips), then the standard delta commit.
 
 Caps: only the cross-key EDGE pairs (two strings per PK-change) are
-ever driver-collected, bounded by `_PENDING_MAX`; timelines, answers,
-and resolved literal events all stay distributed. PK-change chains are
-a tiny fraction of real feeds and a feed exceeding the cap fails
-loudly rather than OOMing the driver.
+ever driver-collected; timelines, answers, and resolved literal events
+all stay distributed. PK-change chains are a tiny fraction of real
+feeds; an epoch above `_PENDING_MAX` edges DEGRADES with a logged note
+(the union-find is O(pendings) short strings — a mass re-key migration
+at 0.05% of a 100M-event epoch is legitimate), and only a feed above
+`_PENDING_HARD_MAX` (where the edge set itself threatens driver
+memory) fails loudly rather than OOMing the driver.
 """
 
 from __future__ import annotations
+
+import logging
 
 import pyarrow as pa
 
@@ -56,7 +61,18 @@ from cdc_spark.caching import track_persist
 from cdc_spark.sinks.target import norm_registry
 from cdc_spark.schema import SPARK_TYPE
 
+_LOG = logging.getLogger(__name__)
+
+#: SOFT cap — above this many cross-key (PK-change) edges in one epoch
+#: the resolver logs a degradation warning (driver union-find time and
+#: edge-collect volume grow linearly) but keeps going: refusing a mass
+#: re-key migration outright (the round-4 behavior) turned 0.05% of a
+#: 100M-event epoch into a dead stream
 _PENDING_MAX = 50_000
+#: HARD cap — the edge set is two short strings per pending (~100 B);
+#: 5M edges ≈ hundreds of MB of driver heap, the honest refusal point
+#: for a feed whose "PK changes" are clearly not PK changes
+_PENDING_HARD_MAX = 5_000_000
 
 #: queried keys per resolve-kernel partition: the chain-resolve shuffle
 #: is sized to the PENDING workload, not the session's shuffle default —
@@ -734,15 +750,23 @@ def resolve_cross_key(
     edges = (
         events.filter(is_pending)
         .select("doc_id", "base_key")
-        .limit(_PENDING_MAX + 1)
+        .limit(_PENDING_HARD_MAX + 1)
         .collect()
     )
     if not edges:
         return events
-    if len(edges) > _PENDING_MAX:
+    if len(edges) > _PENDING_HARD_MAX:
         raise ValueError(
-            f"more than {_PENDING_MAX} cross-key (PK-change) fetch events "
-            "in one epoch; refusing to resolve a pathological feed"
+            f"more than {_PENDING_HARD_MAX} cross-key (PK-change) fetch "
+            "events in one epoch; the edge set alone threatens driver "
+            "memory — refusing to resolve a pathological feed"
+        )
+    if len(edges) > _PENDING_MAX:
+        _LOG.warning(
+            "fetch cross-key resolve degrading: %d PK-change edges in one "
+            "epoch (> soft cap %d) — driver union-find and edge collect "
+            "scale linearly; resolution stays distributed and correct",
+            len(edges), _PENDING_MAX,
         )
 
     # union-find over the driver-known pending edges → chain components.

@@ -500,6 +500,12 @@ class TargetTable:
                 )
                 s = self._dir_bytes(p)
             total += s
+        carries = st.get("carry_deltas") or []
+        if carries:
+            cb = st.get("carry_bytes")
+            total += cb if cb is not None else sum(
+                self._dir_bytes(p) for p in carries
+            )
         return total
 
     def _fast_resolve_ok(self, st: dict) -> bool:
@@ -510,13 +516,24 @@ class TargetTable:
         compaction watermark, or an epoch committed without stats,
         falls back to the full aggregate."""
         if st.get("carry_deltas"):
-            # budget-carried rows have no journal lsn proof against the
-            # partially-rewritten base (their buckets' base rows are
-            # older, but the global base_max_lsn includes the rewritten
-            # buckets) — full aggregate until a tick drains the carries.
-            # A per-bucket base_max map would restore the proof; not
-            # needed while the budget is an opt-in maintenance valve.
-            return False
+            # budget-carried rows CAN keep the fast path (VERDICT r4 #3):
+            # a carried row competes only with base rows of its OWN
+            # bucket (a key hashes to exactly one bucket), and carried
+            # buckets were NOT rewritten — so the per-bucket proof is
+            # carry_min(b) > base_max_by_bucket[b] for every carried
+            # bucket, both recorded by the budgeted tick. The global
+            # base_max_lsn (which includes the freshly-rewritten
+            # buckets) keeps guarding new delta epochs below. Legacy
+            # carries without the per-bucket records fall back.
+            bb = st.get("base_max_by_bucket")
+            cm = st.get("carry_bucket_min")
+            if not bb or not cm:
+                return False
+            gmax = st.get("base_max_lsn")
+            for b, lo in cm.items():
+                bmax = bb.get(b, gmax)
+                if lo is None or (bmax is not None and lo <= bmax):
+                    return False
         if not st["delta_epochs"]:
             return True
         if st["base_version"]:
@@ -716,11 +733,15 @@ class TargetTable:
         bcol = self._bucket_col(st)
         dirty: list[int] | None = None  # None → all buckets
         carried_buckets: list[int] = []
+        carry_min_by_bucket: dict[str, int] = {}
         delta_max = None
+        full_agg: list = []
         if deltas is not None:
             agg = deltas.groupBy(bcol.alias("_b")).agg(
-                F.max("last_lsn").alias("m"), F.count(F.lit(1)).alias("n")
+                F.max("last_lsn").alias("m"), F.min("last_lsn").alias("lo"),
+                F.count(F.lit(1)).alias("n")
             ).collect()
+            full_agg = agg
             if bucketed and prev_max is not None:
                 dirty = sorted(r["_b"] for r in agg)
                 if budget is not None and len(dirty) > budget:
@@ -729,6 +750,13 @@ class TargetTable:
                         for r in sorted(agg, key=lambda r: (-r["n"], r["_b"]))[:budget]
                     }
                     carried_buckets = sorted(set(dirty) - sel)
+                    # min carried lsn per bucket: the fast-path proof
+                    # that carried rows supersede their (un-rewritten)
+                    # buckets' base rows
+                    carry_min_by_bucket = {
+                        str(r["_b"]): r["lo"] for r in agg
+                        if r["_b"] not in sel
+                    }
                     dirty = sorted(sel)
                     deltas, carried = (
                         deltas.filter(bcol.isin(dirty)),
@@ -747,12 +775,14 @@ class TargetTable:
         new_base = st["version"] + 1
         outdir = os.path.join(self.path, "base", f"v{new_base:08d}")
         carry_paths: list[str] = []
+        carry_bytes = 0
         if carried_buckets:
             carry_dir = os.path.join(self.path, "delta", f"carry-v{new_base:08d}")
             carried.repartition(len(carried_buckets), bcol).write.mode(
                 "overwrite"
             ).parquet(carry_dir)
             carry_paths = [carry_dir]
+            carry_bytes = self._dir_bytes(carry_dir)
         if parts:
             merged = parts[0]
             for p in parts[1:]:
@@ -772,17 +802,51 @@ class TargetTable:
         if dirty is not None and base_dir:
             self._link_clean_buckets(base_dir, outdir, exclude=set(dirty))
         new_max = max((v for v in (prev_max, delta_max) if v is not None), default=None)
+        prev_by_bucket = st.get("base_max_by_bucket") or {}
+        new_by_bucket: dict[str, int] = {}
         if parts and (new_max is None or (prev_max is None and base is not None)):
             # no journal-proven lsn bound for every carried row: legacy-base
             # adoption (prev_max None while base rows exist — a late-delivered
             # delta epoch can sit BELOW legacy base lsns, so delta_max alone
             # would understate the base maximum and corrupt the broadcast
-            # fast-path invariant) or statless epochs. One aggregate over the
-            # rewritten data seeds the invariant. The prev_max-None path always
+            # fast-path invariant) or statless epochs. One PER-BUCKET
+            # aggregate over the rewritten data seeds both invariants
+            # (global + by-bucket). The prev_max-None path always
             # full-rewrites (dirty stays None), so the new base is complete.
-            row = self.read_base(spark, {**st, "base_version": new_base}) \
-                .agg(F.max("last_lsn").alias("m")).first()
-            new_max = row["m"]
+            rows = (
+                self.read_base(spark, {**st, "base_version": new_base},
+                               keep_bucket=True)
+                .groupBy("_bucket").agg(F.max("last_lsn").alias("m"))
+                .collect()
+            )
+            new_by_bucket = {
+                str(int(r["_bucket"])): r["m"] for r in rows if r["m"] is not None
+            }
+            new_max = max(new_by_bucket.values(), default=None)
+        elif dirty is not None:
+            # incremental tick: rewritten buckets bump to max(prev bound,
+            # their delta max); clean/carried buckets keep their prior
+            # bound. A bucket missing from a legacy map falls back to
+            # the global prev_max — an over-estimate is sound (the proof
+            # only ever compares carry mins AGAINST these bounds).
+            new_by_bucket = {
+                str(b): prev_by_bucket.get(str(b), prev_max)
+                for b in range(buckets)
+            }
+            for r in agg:
+                b = str(r["_b"])
+                cur = new_by_bucket.get(b)
+                new_by_bucket[b] = r["m"] if cur is None else max(cur, r["m"])
+        elif parts and base is None:
+            # first compaction: the new base is purely delta rows
+            new_by_bucket = {
+                str(r["_b"]): r["m"] for r in full_agg if r["m"] is not None
+            }
+        elif parts:
+            # full rewrite with a journal-proven global bound but no
+            # bucket detail (e.g. an unpartitioned base with stats):
+            # the global max upper-bounds every bucket
+            new_by_bucket = {str(b): new_max for b in range(buckets)}
 
         # fold the contiguous applied prefix into the watermark so the
         # epochs list + stats stay O(epochs-since-last-gap), not O(all);
@@ -807,7 +871,10 @@ class TargetTable:
                 # a budgeted tick's unconsumed rows; [] on a full tick
                 # (any prior carries were re-read and consumed above)
                 "carry_deltas": carry_paths,
+                "carry_bucket_min": carry_min_by_bucket,
+                "carry_bytes": carry_bytes,
                 "base_max_lsn": new_max,
+                "base_max_by_bucket": new_by_bucket,
                 "epoch_watermark": w,
                 "epochs": sparse,
                 "epoch_stats": {

@@ -68,12 +68,34 @@ def test_budgeted_tick_bounds_rewrite_and_preserves_results(spark, tmp_path):
     assert len(rewritten) == budget, (
         f"budgeted tick rewrote {len(rewritten)} buckets, budget={budget}"
     )
-    # carries force the full-aggregate read path, results still exact
-    assert not t._fast_resolve_ok(st)
+    # carries KEEP the broadcast fast path (VERDICT r4 #3): the per-bucket
+    # base_max map proves every carried row supersedes its own bucket's
+    # (un-rewritten) base rows — the base streams through a broadcast
+    # LeftAnti instead of a full-table aggregate; results still exact
+    assert t._fast_resolve_ok(st)
+    assert st["carry_bucket_min"] and st["base_max_by_bucket"]
+    from cdc_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(t.read_resolved(spark))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     got = {r["doc_id"]: r.asDict() for r in t.read_resolved(spark).collect()}
     want = {r["doc_id"]: r.asDict() for r in u.read_resolved(spark).collect()}
     assert got == want and len(got) == docs
     assert all(v["last_lsn"] >= 301 for v in got.values())
+
+    # ...and a LATE epoch (lsn below the rewritten buckets' base max)
+    # must still invalidate the proof and fall back to the full aggregate
+    late = dict(st)
+    late["epoch_stats"] = {
+        **st.get("epoch_stats", {}),
+        "99": {"n_events": 1, "min_lsn": 5, "max_lsn": 5},
+    }
+    late["delta_epochs"] = list(st["delta_epochs"]) + [99]
+    assert not t._fast_resolve_ok(late)
+    # legacy carries (no per-bucket records) must also fall back
+    legacy = {k: v for k, v in st.items()
+              if k not in ("carry_bucket_min", "base_max_by_bucket")}
+    assert not t._fast_resolve_ok(legacy)
 
     # carried buckets rank dirtiest next tick → monotone catch-up; the
     # maintenance full pass drains every carry and restores the fast path

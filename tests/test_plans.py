@@ -118,7 +118,8 @@ def test_no_cartesian_in_any_contract_query(spark):
     from cdc_spark.plans.inspect import formatted_plan
 
     skip = {
-        "cdc_replay_final_state", "cdc_streaming_source_stats",
+        "cdc_replay_final_state", "cdc_replay_final_state_honest",
+        "cdc_streaming_source_stats",
         "cdc_fetch_replay_final_state", "cdc_multi_table_replay",
         "cdc_multi_table_fetch_replay",
     }

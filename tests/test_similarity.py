@@ -168,6 +168,60 @@ def test_ivf_drift_flags_rebuild(spark, vecs, tmp_path):
         == n_before
 
 
+def test_ivf_fold_generations_equals_full_build(spark, vecs, query, tmp_path):
+    """VERDICT r4 #5: fold_ivf_delta merges every delta generation into
+    the base WITHOUT re-fitting — fold(append(x)) must answer exactly
+    like a full build under the same frozen quantizer, clear the
+    `_delta` tree (probes back to O(n_probe) dirs), keep partition
+    pruning, and leave append_ivf_delta working afterwards."""
+    import os
+
+    from cdc_spark.functions.similarity import (
+        _read_ivf_stats, append_ivf_delta, build_ivf_index, fold_ivf_delta,
+        ivf_index_topk,
+    )
+    from cdc_spark.plans.inspect import formatted_plan
+    from pyspark.sql import functions as F
+
+    full = str(tmp_path / "full")
+    inc = str(tmp_path / "inc")
+    centroids = build_ivf_index(vecs, full, n_clusters=8)
+    build_ivf_index(vecs.filter(F.col("vec_id") % 3 == 0), inc,
+                    centroids=centroids)
+    append_ivf_delta(vecs.filter(F.col("vec_id") % 3 == 1), inc)
+    append_ivf_delta(vecs.filter(F.col("vec_id") % 3 == 2), inc)
+    pre_stats = _read_ivf_stats(inc)
+    assert len(pre_stats["delta_dirs"]) == 2
+    rep = fold_ivf_delta(spark, inc)
+    assert rep["folded_generations"] == 2 and rep["n_vectors"] == 400
+    assert not os.path.isdir(os.path.join(inc, "_delta"))
+    st = _read_ivf_stats(inc)
+    assert st["delta_dirs"] == [] and st["delta_clusters"] == {}
+    # total quantization stats conserved (the fit didn't move)
+    tot = lambda s: (  # noqa: E731
+        sum(c["n"] for c in s["clusters"].values())
+        + sum(c["n"] for c in s["delta_clusters"].values())
+    )
+    assert tot(st) == tot(pre_stats) == 400
+    q = ivf_index_topk(spark, inc, query, k=10, n_probe=3)
+    plan = formatted_plan(q)
+    locs = [ln for ln in plan.splitlines() if "Location" in ln]
+    assert locs and all("_cluster=" in ln for ln in locs), plan
+    assert "PartitionFilters" in plan
+    got = [tuple(r) for r in q.collect()]
+    want = [tuple(r) for r in
+            ivf_index_topk(spark, full, query, k=10, n_probe=3).collect()]
+    assert got == want
+    # the folded index keeps accepting appends (gen numbering restarts)
+    rep2 = append_ivf_delta(
+        vecs.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 50_000).alias("vec_id"), "embedding"
+        ), inc,
+    )
+    assert rep2["gen"] == 0
+    assert ivf_index_topk(spark, inc, query, k=10, n_probe=8).count() == 10
+
+
 def test_ivf_legacy_index_empty_cluster_dir(spark, vecs, query, tmp_path):
     """ADVICE r4: a legacy index (no persisted `_schema.json`) where a
     probed `_cluster=` dir exists but holds no parquet files (crashed or
