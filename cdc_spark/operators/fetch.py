@@ -1032,6 +1032,231 @@ def fetch_winners(
     return part.mapInPandas(run_partition, WINNER_SCHEMA)
 
 
+#: serialized segment transition (fetch_winners_tree kernel A → B): the
+#: net effect of one contiguous-lsn slice of one key's timeline applied
+#: to an UNKNOWN prior state — field markers become *_mark flags, the
+#: extra fold keeps its per-key set-lsn stamps (drop purge happens at
+#: winner emission, exactly like the sequential kernel)
+_TRANSITION_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("chunk", T.IntegerType()),
+        T.StructField("restarted", T.BooleanType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("t_mark", T.BooleanType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("s_mark", T.BooleanType()),
+        T.StructField("fold_v", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("fold_l", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("origin", T.StringType()),
+        T.StructField("last_lsn", T.LongType()),
+        T.StructField("last_epoch", T.IntegerType()),
+        T.StructField("last_deleted", T.BooleanType()),
+    ]
+)
+
+
+def _chain_to_transition(key: str, chunk: int, ch: dict, restarted: bool) -> dict:
+    tv, sv = ch["tokens"], ch["source"]
+    t_mark = isinstance(tv, _Marker)
+    s_mark = isinstance(sv, _Marker)
+    last = ch["last"]
+    return {
+        "doc_id": key, "chunk": chunk, "restarted": restarted,
+        "tokens": None if t_mark else tv,
+        "n_tok": None if t_mark else ch["n_tok"],
+        "t_mark": t_mark,
+        "source": None if s_mark else sv,
+        "s_mark": s_mark,
+        "fold_v": {k: v for k, (_l, v) in ch["fold"].items()},
+        "fold_l": {k: l for k, (l, _v) in ch["fold"].items()},
+        "origin": ch["origin"],
+        "last_lsn": last["lsn"], "last_epoch": last["epoch"],
+        "last_deleted": bool(last["deleted"]),
+    }
+
+
+def _compose_transitions(a: dict, b: dict) -> dict:
+    """a ∘ b for consecutive segments (a earlier). A restarted b (its
+    slice saw a delete or reset) discards a entirely — its unsupplied
+    fields root in PRE-EPOCH state of its own origin, never in a."""
+    if b["restarted"]:
+        return b
+    out = dict(b)
+    if b["t_mark"]:
+        out["tokens"], out["n_tok"], out["t_mark"] = (
+            a["tokens"], a["n_tok"], a["t_mark"],
+        )
+    if b["s_mark"]:
+        out["source"], out["s_mark"] = a["source"], a["s_mark"]
+    out["fold_v"] = {**a["fold_v"], **b["fold_v"]}
+    out["fold_l"] = {**a["fold_l"], **b["fold_l"]}
+    out["origin"] = a["origin"]
+    out["restarted"] = a["restarted"]
+    return out
+
+
+def _transition_winner(t: dict, drops: list[tuple[int, str]]) -> dict:
+    if t["last_deleted"]:
+        return {
+            "lsn": t["last_lsn"], "epoch": t["last_epoch"],
+            "doc_id": t["doc_id"], "deleted": True, "tokens": None,
+            "n_tok": None, "source": None, "extra": {},
+            "need_tokens": False, "need_source": False,
+            "need_extra": False, "state_key": None,
+        }
+    fold = {k: (t["fold_l"][k], v) for k, v in t["fold_v"].items()}
+    return {
+        "lsn": t["last_lsn"], "epoch": t["last_epoch"], "doc_id": t["doc_id"],
+        "deleted": False,
+        "tokens": t["tokens"], "n_tok": t["n_tok"], "source": t["source"],
+        "extra": _folded(fold, drops),
+        "need_tokens": bool(t["t_mark"]), "need_source": bool(t["s_mark"]),
+        "need_extra": t["origin"] is not None,
+        "state_key": t["origin"],
+    }
+
+
+def sample_hot_keys(
+    events: DataFrame, n_events: int, share: float = 0.02,
+    sample_rows: int = 50_000, seed: int = 7,
+) -> list[str]:
+    """Keys whose estimated timeline share exceeds `share` of the epoch
+    (one job over a bounded sample) — the split set for
+    fetch_winners_tree. At Zipf-1.2 skew the top key alone holds ~18%
+    of events; everything below `share` folds fine in one task."""
+    if not n_events:
+        return []
+    frac = min(1.0, sample_rows / float(n_events))
+    thr = max(4.0, share * n_events * frac)
+    cnt = (
+        events.sample(fraction=frac, seed=seed)
+        .groupBy("doc_id").count()
+        .filter(F.col("count") >= F.lit(thr))
+    )
+    return [r["doc_id"] for r in cnt.collect()]
+
+
+def fetch_winners_tree(
+    events: DataFrame,
+    drops: list[tuple[int, str]],
+    n_events: int | None = None,
+    hot_keys: list[str] | None = None,
+    chunk_width: int | None = None,
+) -> DataFrame:
+    """Parallel-prefix twin of `fetch_winners` (VERDICT r4 #6): hot
+    keys' timelines fold as SEGMENTED partial transitions composed in
+    chunk order, breaking the "hottest key serializes one task" bound
+    of the sequential kernel.
+
+    `_chain_apply`'s transition family (field-wise set-if-present merge
+    + delete/reset restart) is closed under composition: a segment
+    folded from a fresh chain IS its net transition, with Markers
+    meaning "inherit" — from the previous segment mid-timeline, from
+    pre-epoch state at the head (exactly `_winner_of`'s need flags).
+    Kernel A folds (key, lsn-chunk) slices into transition rows (hot
+    keys only get real chunks; everyone else is chunk 0); kernel B
+    re-shuffles the TINY transition set by key and composes. Cost vs
+    the sequential kernel: the same event shuffle + one extra
+    O(keys + hot×chunks) shuffle + the sampling job that finds the hot
+    set — only worth paying when one timeline dominates the epoch.
+    Row-equality with `fetch_winners` is test-pinned; adoption is
+    bench-gated (BENCH.md)."""
+    import pandas as pd
+
+    if n_events:
+        n_parts = max(1, -(-n_events // _EVENTS_PER_FOLD_PART))
+    else:
+        n_parts = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if hot_keys is None:
+        hot_keys = sample_hot_keys(events, n_events or 0)
+    if chunk_width is None:
+        chunk_width = max(4096, (n_events or 0) // (4 * n_parts) or 4096)
+    if hot_keys:
+        chunk_col = (
+            F.when(
+                F.col("doc_id").isin(list(hot_keys)),
+                F.floor(F.col("lsn") / F.lit(int(chunk_width))),
+            ).otherwise(F.lit(0)).cast("int")
+        )
+    else:
+        chunk_col = F.lit(0).cast("int")
+    staged = events.select(*_NAMES, chunk_col.alias("chunk"))
+
+    def fold_segments(batches):
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values(["doc_id", "chunk", "lsn"], kind="mergesort")
+        out = []
+        ch = None
+        cur = None
+        restarted = False
+        cols = list(pdf.columns)
+        for tup in pdf.itertuples(index=False):
+            ev = dict(zip(cols, tup))
+            if ev["tokens"] is not None:
+                ev["tokens"] = list(ev["tokens"])
+            if ev["extra"] is not None and not isinstance(ev["extra"], dict):
+                ev["extra"] = dict(ev["extra"])
+            for b in ("deleted", "reset", "set_tokens", "set_source"):
+                ev[b] = bool(ev[b])
+            k = (ev["doc_id"], ev["chunk"])
+            if k != cur:
+                if ch is not None:
+                    out.append(_chain_to_transition(cur[0], cur[1], ch, restarted))
+                cur = k
+                ch = _new_chain(ev["doc_id"])
+                restarted = False
+            if ev["deleted"] or ev["reset"]:
+                restarted = True
+            _chain_apply(ch, ev)
+        if ch is not None:
+            out.append(_chain_to_transition(cur[0], cur[1], ch, restarted))
+        yield pd.DataFrame(out, columns=[f.name for f in _TRANSITION_SCHEMA.fields])
+
+    transitions = staged.repartition(
+        n_parts, F.col("doc_id"), F.col("chunk")
+    ).mapInPandas(fold_segments, _TRANSITION_SCHEMA)
+
+    def compose_partition(batches):
+        pdfs = [p for p in batches if not p.empty]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        pdf = pdf.sort_values(["doc_id", "chunk"], kind="mergesort")
+        out = []
+        acc = None
+        cols = list(pdf.columns)
+        for tup in pdf.itertuples(index=False):
+            t = dict(zip(cols, tup))
+            if t["tokens"] is not None:
+                t["tokens"] = list(t["tokens"])
+            for m in ("fold_v", "fold_l"):
+                if t[m] is not None and not isinstance(t[m], dict):
+                    t[m] = dict(t[m])
+            for b in ("restarted", "t_mark", "s_mark", "last_deleted"):
+                t[b] = bool(t[b])
+            if acc is not None and acc["doc_id"] == t["doc_id"]:
+                acc = _compose_transitions(acc, t)
+            else:
+                if acc is not None:
+                    out.append(_transition_winner(acc, drops))
+                acc = t
+        if acc is not None:
+            out.append(_transition_winner(acc, drops))
+        yield pd.DataFrame(out, columns=[f.name for f in WINNER_SCHEMA.fields])
+
+    # transitions are one row per (key, chunk) — tiny; the compose
+    # exchange sizes to keys, not events
+    comp_parts = max(1, min(n_parts, 64))
+    return transitions.repartition(comp_parts, F.col("doc_id")).mapInPandas(
+        compose_partition, WINNER_SCHEMA
+    )
+
+
 def _drops_lit(drops: list[tuple[int, str]]):
     """drops → literal array<struct<l,k>> column for in-expression purge."""
     if not drops:
@@ -1196,6 +1421,8 @@ def fetch_delta(
     winners: DataFrame,
     state: DataFrame,
     registry: list[dict],
+    n_needy: int | None = None,
+    needy_bound: int | None = None,
 ) -> DataFrame:
     """Winners + pre-epoch resolved state → phys delta rows.
 
@@ -1208,14 +1435,27 @@ def fetch_delta(
     `_IMAGE_BROADCAST_CAP` the image join shuffles O(needy) state rows
     (semi still prunes the scan); past `_SEMI_BROADCAST_CAP` the semi
     shuffles too. The winners side is persisted by the caller, so the
-    guard count is a cached scan."""
+    guard count is a cached scan.
+
+    The guard count job is SKIPPED whenever a cheaper bound already
+    decides the join strategy (per-epoch blocking jobs are the fetch
+    path's scaling limiter — BENCH_scaling_fetch_uniform_r4.md):
+    `n_needy` passes an exact count a prefetch already paid for;
+    `needy_bound` passes any upper bound on the needy-key count (the
+    epoch's DML count works: needy keys ⊆ winner keys ⊆ DML events) —
+    a bound under `_IMAGE_BROADCAST_CAP` proves both broadcasts safe
+    without counting anything."""
     reg = norm_registry(registry)
     needy = (
         winners.filter(F.col("need_tokens") | F.col("need_source") | F.col("need_extra"))
         .select(F.col("state_key").alias("doc_id"))
         .distinct()
     )
-    n_needy = needy.count()
+    if n_needy is None:
+        if needy_bound is not None and needy_bound <= _IMAGE_BROADCAST_CAP:
+            n_needy = needy_bound
+        else:
+            n_needy = needy.count()
     bc_semi = F.broadcast if n_needy <= _SEMI_BROADCAST_CAP else (lambda x: x)
     bc_img = F.broadcast if n_needy <= _IMAGE_BROADCAST_CAP else (lambda x: x)
     ssub = state.join(bc_semi(needy), "doc_id", "left_semi").select(
@@ -1306,4 +1546,44 @@ def fetch_delta_from_events(
     else:
         winners = track_persist(fetch_winners(events, drops, n_events=n_events))
     state = table.read_resolved(spark)
-    return fetch_delta(spark, winners, state, table.state()["registry"])
+    return fetch_delta(spark, winners, state, table.state()["registry"],
+                       needy_bound=n_events)
+
+
+def prepare_fetch_epoch(
+    spark: SparkSession,
+    batch: DataFrame,
+    drops: list[tuple[int, str]],
+    n_pk_change: int | None = None,
+    n_events: int | None = None,
+) -> dict:
+    """Commit-independent half of the fetch pipeline: normalize →
+    cross-key resolve → per-key replay, MATERIALIZED (the winners cache
+    is computed by the exact needy-key count, which fetch_delta then
+    reuses instead of re-counting).
+
+    Nothing here reads the target table — winners depend only on the
+    epoch's own events (state lookups stay symbolic `state_key`
+    markers) — so a driver thread can run this for epoch N+1 while
+    epoch N's state join, delta write, journal commit, and compaction
+    tick are still in flight: the per-epoch blocking jobs that cap the
+    fetch path's N→4N scaling (BENCH_scaling_fetch_uniform_r4.md)
+    overlap instead of serializing. Callers own the returned persisted
+    frames (`persisted`) and must unpersist them after the epoch's
+    write action; caching.track_persist is deliberately NOT used — its
+    global release would let epoch N's cleanup drop epoch N+1's
+    in-flight prefetch caches."""
+    events = normalize_fetch(batch).persist()
+    resolved = resolve_cross_key(spark, events, drops, n_pk_change=n_pk_change)
+    winners = fetch_winners(resolved, drops, n_events=n_events).persist()
+    n_needy = (
+        winners.filter(
+            F.col("need_tokens") | F.col("need_source") | F.col("need_extra")
+        )
+        .select("state_key").distinct().count()
+    )
+    return {
+        "winners": winners,
+        "n_needy": n_needy,
+        "persisted": [events, winners],
+    }

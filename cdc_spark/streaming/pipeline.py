@@ -120,6 +120,7 @@ def apply_batch(
     lineage_dir: str | None = None,
     verify_redelivery: bool = False,
     images: str = "carry",
+    prepared: dict | None = None,
 ) -> dict:
     """Apply one epoch's change events; returns {applied, n_events, ...}.
 
@@ -135,7 +136,15 @@ def apply_batch(
     (the GoldenGate shape). `images="fetch"`: the feed is key-only (the
     reference's SQL Server CT shape, CTInputDStream.java:112-131) and
     unsupplied fields are fetched from earlier same-epoch events or the
-    table's own resolved state (operators/fetch.py)."""
+    table's own resolved state (operators/fetch.py).
+
+    `prepared` (fetch mode only): this epoch's prefetch result — the
+    lineage rows plus (unless `fallback` is set because the epoch has
+    DDL/unknown ops) the already-materialized winners and their exact
+    needy-key count, computed ahead of time by `replay`'s pipeline
+    thread while the PREVIOUS epoch was still committing
+    (operators/fetch.py `prepare_fetch_epoch`). The caller owns (and
+    releases) `prepared["persisted"]` after this returns."""
     if images not in ("carry", "fetch"):
         raise ValueError(f"unknown images mode {images!r}")
     t0 = time.monotonic()
@@ -181,8 +190,12 @@ def apply_batch(
             dedupe_mode=dedupe_mode, normalize_impl=normalize_impl,
         )
 
-    # -- phase 1: one pruned pass → per-partition lineage + DDL barrier --
-    lineage = lineage_stats(batch, pk_change=(images == "fetch")).collect()
+    # -- phase 1: one pruned pass → per-partition lineage + DDL barrier
+    # (the prefetch thread already paid this scan when `prepared`) -------
+    if prepared is not None:
+        lineage = prepared["lineage"]
+    else:
+        lineage = lineage_stats(batch, pk_change=(images == "fetch")).collect()
     n_unknown = int(sum(r["n_unknown"] for r in lineage))
     if n_unknown:
         # strict like the reference's Kudu sink (CDCKudu.java:171-173);
@@ -222,12 +235,26 @@ def apply_batch(
 
     # -- phase 2: normalize → dedupe → project → delta commit --
     if images == "fetch":
-        from cdc_spark.operators.fetch import build_fetch_delta
+        if prepared is not None and not prepared.get("fallback"):
+            # pipelined epoch: winners already resolved, folded,
+            # persisted AND counted by the prefetch thread — only the
+            # state join + write (the genuinely commit-ordered tail)
+            # remains. An epoch with DDL/unknown ops never lands here
+            # (the prefetch marks it fallback: its drops capture needs
+            # the DDL barrier applied first).
+            from cdc_spark.operators.fetch import fetch_delta
 
-        n_pkc = int(sum(r["n_pk_change"] for r in lineage))
-        n_dml = int(sum(r["n_insert"] + r["n_update"] + r["n_delete"] for r in lineage))
-        delta = build_fetch_delta(spark, table, batch, drops,
-                                  n_pk_change=n_pkc, n_events=n_dml)
+            delta = fetch_delta(
+                spark, prepared["winners"], table.read_resolved(spark),
+                registry, n_needy=prepared["n_needy"],
+            )
+        else:
+            from cdc_spark.operators.fetch import build_fetch_delta
+
+            n_pkc = int(sum(r["n_pk_change"] for r in lineage))
+            n_dml = int(sum(r["n_insert"] + r["n_update"] + r["n_delete"] for r in lineage))
+            delta = build_fetch_delta(spark, table, batch, drops,
+                                      n_pk_change=n_pkc, n_events=n_dml)
     else:
         events = normalize(batch, impl=normalize_impl)
         deduped = lww_dedupe(events, key="doc_id", order="lsn", mode=dedupe_mode)
@@ -762,25 +789,91 @@ def replay(
     per-epoch seconds let benchmarks separate JIT-cold first epochs
     from steady-state throughput. `compact_budget` bounds each inline
     compaction tick to that many dirty buckets (carry the rest; see
-    TargetTable.inline_compact_budget)."""
+    TargetTable.inline_compact_budget).
+
+    FETCH PIPELINING (VERDICT r4 #1): in fetch mode a single driver
+    thread prepares epoch N+1 (stats scan → normalize → cross-key
+    resolve → winners fold, materialized) while epoch N's state join,
+    delta write, journal commit, and compaction tick run — winners
+    never read table state, so the prepare is commit-independent, and
+    epochs with DDL/unknown ops fall back to the strictly-ordered path.
+    The per-epoch blocking jobs this hides are the measured limiter of
+    fetch-path N→4N scaling (BENCH_scaling_fetch_uniform_r4.md). The
+    final table is byte-identical to the sequential path (same epoch
+    order, same commits — only plan construction overlaps)."""
     table = TargetTable(table_path, compact_every=compact_every,
                         inline_compact_budget=compact_budget)
     table.create_if_absent()
     by_epoch = list_segments(binlog_dir)
     lineage_dir = os.path.join(table_path, "_lineage") if lineage else None
+    eps = sorted(by_epoch)
+    pool = None
+    if images == "fetch" and len(eps) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+
+    def _prefetch(e: int) -> dict:
+        from cdc_spark.operators.fetch import prepare_fetch_epoch
+
+        b = read_changes(spark, by_epoch[e], wire=wire)
+        rows = lineage_stats(b, pk_change=True).collect()
+        n_bad = int(sum(r["n_unknown"] for r in rows))
+        n_ddl = int(sum(r["n_ddl"] for r in rows))
+        if n_bad or n_ddl:
+            # unknown ops must refuse IN ORDER on the main path; DDL
+            # needs the barrier applied before the drops capture
+            return {"lineage": rows, "fallback": True, "persisted": []}
+        n_pkc = int(sum(r["n_pk_change"] for r in rows))
+        n_dml = int(sum(r["n_insert"] + r["n_update"] + r["n_delete"] for r in rows))
+        return {
+            "lineage": rows, "fallback": False,
+            **prepare_fetch_epoch(spark, b, [], n_pk_change=n_pkc,
+                                  n_events=n_dml),
+        }
+
+    def _release(p: dict | None) -> None:
+        for df in (p or {}).get("persisted", []):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
     done = 0
-    for epoch in sorted(by_epoch):
-        batch = read_changes(spark, by_epoch[epoch], wire=wire)
-        res = apply_batch(
-            spark, table, batch, epoch,
-            dedupe_mode=dedupe_mode, normalize_impl=normalize_impl, lineage_dir=lineage_dir,
-            images=images,
-        )
-        if stats_out is not None:
-            stats_out.append(res)
-        done += 1
-        if stop_after is not None and done >= stop_after:
-            break
+    fut = None
+    try:
+        for i, epoch in enumerate(eps):
+            prepared = fut.result() if fut is not None else None
+            fut = None
+            batch = read_changes(spark, by_epoch[epoch], wire=wire)
+            if (
+                pool is not None
+                and i + 1 < len(eps)
+                and (stop_after is None or done + 2 <= stop_after)
+                and not table.has_epoch(eps[i + 1])
+            ):
+                fut = pool.submit(_prefetch, eps[i + 1])
+            try:
+                res = apply_batch(
+                    spark, table, batch, epoch,
+                    dedupe_mode=dedupe_mode, normalize_impl=normalize_impl,
+                    lineage_dir=lineage_dir, images=images, prepared=prepared,
+                )
+            finally:
+                _release(prepared)
+            if stats_out is not None:
+                stats_out.append(res)
+            done += 1
+            if stop_after is not None and done >= stop_after:
+                break
+    finally:
+        if fut is not None:  # drain an orphaned prefetch (raise/stop)
+            try:
+                _release(fut.result())
+            except Exception:
+                pass
+        if pool is not None:
+            pool.shutdown(wait=False)
     return table
 
 

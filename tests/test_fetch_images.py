@@ -160,6 +160,55 @@ def test_winners_expr_equals_pandas_kernel(spark, workdir):
     assert not diffs, f"{len(diffs)} diffs, first 3: {diffs[:3]}"
 
 
+def test_winners_tree_equals_pandas_kernel(spark, workdir):
+    """The parallel-prefix winner fold (fetch_winners_tree, VERDICT r4
+    #6: hot timelines fold as composed segment transitions instead of
+    one serial task) must emit row-for-row what the sequential kernel
+    emits on a Zipf-skewed feed with every transition kind — forcing
+    EVERY key through tiny chunks so composition (incl. restart
+    discards, marker inheritance, fold-stamp merge, drop purges) is
+    exercised on deep chains, and separately with the sampled hot-key
+    auto-split."""
+    from cdc_spark.operators.fetch import (
+        fetch_winners, fetch_winners_tree, normalize_fetch, resolve_cross_key,
+    )
+    from cdc_spark.sources.binlog import read_changes
+
+    cfg = GenConfig(
+        n_events=4000, n_docs=250, events_per_epoch=4000, seed=91,
+        p_pk_change=0.3, p_missing_tokens=0.6, p_missing_source=0.6,
+        ddl_schedule=DDL_SCHEDULE_WITH_DROP,
+    )
+    d = f"{workdir}/binlog_winner_tree"
+    write_binlog_keys(cfg, d)
+    batch = read_changes(spark, sorted(glob.glob(f"{d}/segment-*.parquet")))
+    drops = [(2400, "rating")]
+    events = resolve_cross_key(spark, normalize_fetch(batch), drops)
+
+    def norm(rows):
+        out = {}
+        for r in rows:
+            x = r.asDict()
+            x["tokens"] = list(x["tokens"]) if x["tokens"] is not None else None
+            x["extra"] = dict(x["extra"] or {})
+            out[x["doc_id"]] = x
+        return out
+
+    a = norm(fetch_winners(events, drops, n_events=4000).collect())
+    all_keys = [r["doc_id"] for r in events.select("doc_id").distinct().collect()]
+    # every key chunked at width 64 → deep composition chains everywhere
+    b = norm(
+        fetch_winners_tree(events, drops, n_events=4000,
+                           hot_keys=all_keys, chunk_width=64).collect()
+    )
+    assert set(a) == set(b)
+    diffs = [(k, a[k], b[k]) for k in a if a[k] != b[k]]
+    assert not diffs, f"{len(diffs)} diffs, first 3: {diffs[:3]}"
+    # sampled auto-split path (hot_keys=None)
+    c = norm(fetch_winners_tree(events, drops, n_events=4000).collect())
+    assert a == c
+
+
 def test_resolve_cross_key_expr_equals_pandas(spark, workdir):
     """The JVM answers fold (+ queried-key round filter) must resolve a
     chain-heavy feed to exactly the event set the Python kernel path
