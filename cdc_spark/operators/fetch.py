@@ -980,7 +980,11 @@ def fetch_winners(
     exchange to the DATA, ceil(n_events/_EVENTS_PER_FOLD_PART)
     partitions, uncapped: a big epoch gets more folds than the session
     default (bounding per-task pandas memory), a small one gets fewer
-    Python-worker round trips. AQE cannot do this here — coalescing
+    Python-worker round trips. The count is a SIZING heuristic only —
+    callers may pass a raw batch count (incl. heartbeats/DDL) or a
+    pure-DML count that misses resolved PK-change twins; a small over-
+    or undercount just shifts partition granularity, never correctness.
+    AQE cannot do this here — coalescing
     skips user repartitions and a REBALANCE hint may split one key's
     timeline across tasks, which the fold cannot tolerate. Without the
     count, the session shuffle default applies.
