@@ -30,7 +30,11 @@ Dataflow (per epoch):
    batching instead of a per-key UDF, whose per-group pandas overhead
    dominates at 10^5 keys/epoch). Emits each key's winning image plus
    need-from-state flags. (Per-key order is a sequential fold, so hot
-   keys cannot salt here — the trade a key-only feed forces.)
+   keys cannot salt here — but `fetch_winners_auto` dispatches a
+   DOMINANT timeline (sampled top-key share ≥30%) to the parallel-
+   prefix tree fold `fetch_winners_tree`, which composes segmented
+   partial transitions instead of serializing the hot key in one
+   task.)
 4. `fetch_delta` — winners needing pre-epoch state LEFT-join the
    resolved table filtered through a broadcast semi-join of the needy
    keys: the 100-TB table streams, never shuffles, exactly like the
@@ -1142,6 +1146,70 @@ def sample_hot_keys(
     return [r["doc_id"] for r in cnt.collect()]
 
 
+#: fetch_winners_auto dispatch gates (interleaved best-of-3 A/B at 8
+#: pinned cores, BENCH.md «tree fold»): below ~250k events the serial
+#: fold costs a few seconds at worst and the profile job + extra
+#: shuffle eat the win; the tree fold starts winning between a 20%
+#: top-key share (wash: 4.25 s seq vs 4.38 s tree at 1M events) and a
+#: 38% share (1.34×: 5.21 vs 3.88 s), so dispatch at ≥30%.
+_TREE_MIN_EVENTS = 250_000
+_TREE_TOP_SHARE = 0.30
+
+
+def sample_key_profile(
+    events: DataFrame, n_events: int, share: float = 0.02,
+    sample_rows: int = 50_000, seed: int = 7,
+) -> tuple[list[str], float]:
+    """(hot keys above `share`, estimated top-key share) from ONE
+    bounded-sample job — the dispatch signal for fetch_winners_auto.
+    collect_list skips the when()'s nulls, so the single aggregate row
+    carries the sampled total, the max timeline, and the hot set."""
+    if not n_events:
+        return [], 0.0
+    frac = min(1.0, sample_rows / float(n_events))
+    thr = max(4.0, share * n_events * frac)
+    r = (
+        events.sample(fraction=frac, seed=seed)
+        .groupBy("doc_id").count()
+        .agg(
+            F.sum("count").alias("n"),
+            F.max("count").alias("top"),
+            F.collect_list(
+                F.when(F.col("count") >= F.lit(thr), F.col("doc_id"))
+            ).alias("hot"),
+        )
+        .collect()[0]
+    )
+    if not r["n"]:
+        return [], 0.0
+    return list(r["hot"]), float(r["top"]) / float(r["n"])
+
+
+def fetch_winners_auto(
+    events: DataFrame,
+    drops: list[tuple[int, str]],
+    n_events: int | None = None,
+    min_events: int | None = None,
+    top_share: float | None = None,
+) -> DataFrame:
+    """Winner fold with measured dispatch: one sampled key-profile job
+    decides between the sequential per-key kernel (`fetch_winners`) and
+    the parallel-prefix tree fold (`fetch_winners_tree`) — the tree
+    only wins when one timeline dominates the epoch (crossover data in
+    BENCH.md; both kernels are test-pinned row-equal). Small epochs
+    skip the profile job outright. In the pipelined replay the profile
+    runs on the prefetch thread, i.e. off the commit critical path."""
+    lo = _TREE_MIN_EVENTS if min_events is None else min_events
+    bar = _TREE_TOP_SHARE if top_share is None else top_share
+    if not n_events or n_events < lo:
+        return fetch_winners(events, drops, n_events=n_events)
+    hot, top = sample_key_profile(events, n_events)
+    if hot and top >= bar:
+        return fetch_winners_tree(events, drops, n_events=n_events,
+                                  hot_keys=hot)
+    return fetch_winners(events, drops, n_events=n_events)
+
+
 def fetch_winners_tree(
     events: DataFrame,
     drops: list[tuple[int, str]],
@@ -1165,8 +1233,10 @@ def fetch_winners_tree(
     the sequential kernel: the same event shuffle + one extra
     O(keys + hot×chunks) shuffle + the sampling job that finds the hot
     set — only worth paying when one timeline dominates the epoch.
-    Row-equality with `fetch_winners` is test-pinned; adoption is
-    bench-gated (BENCH.md)."""
+    Row-equality with `fetch_winners` is test-pinned;
+    `fetch_winners_auto` dispatches here when a sampled key profile
+    shows a dominant timeline (measured crossover in BENCH.md: wash at
+    a 20% top-key share, 1.34–1.63× wins at 38–60%)."""
     import pandas as pd
 
     if n_events:
@@ -1548,7 +1618,7 @@ def fetch_delta_from_events(
     if winners_impl == "expr":
         winners = track_persist(fetch_winners_expr(events, drops))
     else:
-        winners = track_persist(fetch_winners(events, drops, n_events=n_events))
+        winners = track_persist(fetch_winners_auto(events, drops, n_events=n_events))
     state = table.read_resolved(spark)
     return fetch_delta(spark, winners, state, table.state()["registry"],
                        needy_bound=n_events)
@@ -1579,7 +1649,7 @@ def prepare_fetch_epoch(
     in-flight prefetch caches."""
     events = normalize_fetch(batch).persist()
     resolved = resolve_cross_key(spark, events, drops, n_pk_change=n_pk_change)
-    winners = fetch_winners(resolved, drops, n_events=n_events).persist()
+    winners = fetch_winners_auto(resolved, drops, n_events=n_events).persist()
     n_needy = (
         winners.filter(
             F.col("need_tokens") | F.col("need_source") | F.col("need_extra")

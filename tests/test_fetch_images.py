@@ -209,6 +209,50 @@ def test_winners_tree_equals_pandas_kernel(spark, workdir):
     assert a == c
 
 
+def test_winners_auto_dispatch(spark, workdir):
+    """fetch_winners_auto routes on the sampled key profile (BENCH.md
+    crossover): small epochs take the sequential kernel without paying
+    the profile job; above the gates a dominant timeline takes the tree
+    fold — and BOTH routes emit identical winner rows."""
+    from cdc_spark.operators.fetch import (
+        fetch_winners, fetch_winners_auto, normalize_fetch,
+        resolve_cross_key, sample_key_profile,
+    )
+    from cdc_spark.sources.binlog import read_changes
+
+    cfg = GenConfig(
+        n_events=6000, n_docs=300, events_per_epoch=6000, seed=17,
+        p_pk_change=0.1, zipf_s=2.0,
+    )
+    d = f"{workdir}/binlog_winner_auto"
+    write_binlog_keys(cfg, d)
+    batch = read_changes(spark, sorted(glob.glob(f"{d}/segment-*.parquet")))
+    events = resolve_cross_key(spark, normalize_fetch(batch), [])
+
+    hot, top = sample_key_profile(events, 6000)
+    assert top > 0.3 and hot, (hot, top)  # zipf-2.0: one dominant key
+
+    def norm(rows):
+        out = {}
+        for r in rows:
+            x = r.asDict()
+            x["tokens"] = list(x["tokens"]) if x["tokens"] is not None else None
+            x["extra"] = dict(x["extra"] or {})
+            out[x["doc_id"]] = x
+        return out
+
+    a = norm(fetch_winners(events, [], n_events=6000).collect())
+    # forced-tree route (gates floored) must equal the sequential fold
+    b = norm(
+        fetch_winners_auto(events, [], n_events=6000,
+                           min_events=0, top_share=0.0).collect()
+    )
+    assert a == b
+    # default gates on a small epoch: sequential route, same rows
+    c = norm(fetch_winners_auto(events, [], n_events=6000).collect())
+    assert a == c
+
+
 def test_resolve_cross_key_expr_equals_pandas(spark, workdir):
     """The JVM answers fold (+ queried-key round filter) must resolve a
     chain-heavy feed to exactly the event set the Python kernel path
