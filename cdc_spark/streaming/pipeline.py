@@ -621,7 +621,8 @@ def apply_batch_multi(
                 # list() re-raises the first tail failure
                 list(ex.map(_run_tail, fetch_tails))
         release_persisted()  # the winners caches are epoch-scoped
-    _sweep_stage(router, os.path.join(router.root, "_mt_stage"))
+    _sweep_stage(router, os.path.join(router.root, "_mt_stage"),
+                 keep_above=epoch)
 
     dt = time.monotonic() - t0
     if lineage:
@@ -719,11 +720,17 @@ def _stage_slices(stage_dir: str) -> dict[str, str]:
     return out
 
 
-def _sweep_stage(router: TableRouter, stage_root: str) -> None:
+def _sweep_stage(
+    router: TableRouter, stage_root: str, keep_above: int | None = None,
+) -> None:
     """Delete staged epochs no table references anymore (every table
-    either compacted them away or never claimed a slice)."""
+    either compacted them away or never claimed a slice). `keep_above`
+    protects epochs AFTER the one just applied: the replay driver
+    pre-stages epoch N+1 (and its `.inprogress` temp) while N commits,
+    and epoch N's sweep must not eat the prefetch."""
     if not os.path.isdir(stage_root):
         return
+    import re
     import shutil as _shutil
 
     live = set()
@@ -733,7 +740,13 @@ def _sweep_stage(router: TableRouter, stage_root: str) -> None:
             live.add(os.path.abspath(os.path.dirname(p)))
     for child in os.listdir(stage_root):
         p = os.path.abspath(os.path.join(stage_root, child))
-        if child.startswith("epoch=") and p not in live:
+        if not child.startswith("epoch="):
+            continue
+        if keep_above is not None:
+            m = re.match(r"epoch=(\d+)", child)
+            if m and int(m.group(1)) > keep_above:
+                continue
+        if p not in live:
             _shutil.rmtree(p, ignore_errors=True)
 
 
@@ -750,20 +763,77 @@ def replay_multi(
     images: str = "carry",
 ) -> TableRouter:
     """Batch replay of a multi-table feed: one apply_batch_multi per
-    segment in epoch order; resumable exactly like `replay`."""
+    segment in epoch order; resumable exactly like `replay`.
+
+    Pipelined like single-table `replay`: the whole-epoch staging pass
+    (normalize + LWW winners in carry mode; normalized setter-flagged
+    events in fetch mode — `_stage_epoch_*`) is a deterministic
+    function of the feed alone, independent of table state and DDL
+    order, so a driver thread pre-stages epoch N+1 while epoch N's
+    per-table commits/tails run. apply_batch_multi finds the stage dir
+    already present and reuses it (its existing idempotency), and its
+    end-of-epoch sweep keeps epochs above the one just applied."""
     router = TableRouter(root_path, compact_every=compact_every)
     by_epoch = list_segments(binlog_dir)
+    eps = sorted(by_epoch)
+    pool = None
+    if len(eps) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+
+    def _prestage(e: int) -> None:
+        # advisory: on any failure the apply stages synchronously (the
+        # stage dir simply won't exist); real feed errors re-raise there
+        try:
+            names = router.names()
+            if names and all(router.get(n).has_epoch(e) for n in names):
+                return  # full redelivery — nothing will consume the stage
+            b = read_changes(spark, by_epoch[e], wire=wire)
+            stage_dir = os.path.join(
+                router.root, "_mt_stage",
+                f"epoch={e:08d}" + (".fetch" if images == "fetch" else ""),
+            )
+            if images == "fetch":
+                _stage_epoch_fetch_events(spark, b, stage_dir)
+            else:
+                _stage_epoch_winners(
+                    spark, b, stage_dir,
+                    dedupe_mode=dedupe_mode, normalize_impl=normalize_impl,
+                )
+        except Exception:
+            pass
+
     done = 0
-    for epoch in sorted(by_epoch):
-        batch = read_changes(spark, by_epoch[epoch], wire=wire)
-        apply_batch_multi(
-            spark, router, batch, epoch,
-            dedupe_mode=dedupe_mode, normalize_impl=normalize_impl, lineage=lineage,
-            images=images,
-        )
-        done += 1
-        if stop_after is not None and done >= stop_after:
-            break
+    fut = None
+    try:
+        for i, epoch in enumerate(eps):
+            if fut is not None:
+                fut.result()
+                fut = None
+            batch = read_changes(spark, by_epoch[epoch], wire=wire)
+            if (
+                pool is not None
+                and i + 1 < len(eps)
+                and (stop_after is None or done + 2 <= stop_after)
+            ):
+                fut = pool.submit(_prestage, eps[i + 1])
+            apply_batch_multi(
+                spark, router, batch, epoch,
+                dedupe_mode=dedupe_mode, normalize_impl=normalize_impl,
+                lineage=lineage, images=images,
+            )
+            done += 1
+            if stop_after is not None and done >= stop_after:
+                break
+    finally:
+        if fut is not None:
+            try:
+                fut.result()
+            except Exception:
+                pass
+        if pool is not None:
+            pool.shutdown(wait=False)
     return router
 
 

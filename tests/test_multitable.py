@@ -182,3 +182,27 @@ def test_jobs_per_epoch_independent_of_table_count(spark, workdir):
         )
         assert len(router.names()) == n_tables
     assert counts[2] == counts[8], counts
+
+
+def test_sweep_stage_keeps_future_epochs(workdir):
+    """The replay driver pre-stages epoch N+1 while N commits; epoch N's
+    end-of-apply sweep must keep staged dirs (and their .inprogress
+    temps) ABOVE the applied epoch, while still collecting unreferenced
+    older ones."""
+    import os
+
+    from cdc_spark.streaming.pipeline import _sweep_stage
+
+    router = TableRouter(f"{workdir}/sweep_root")
+    stage = f"{workdir}/sweep_root/_mt_stage"
+    dirs = [
+        "epoch=00000001", "epoch=00000002.fetch",
+        "epoch=00000002.fetch.inprogress",
+    ]
+    for d in dirs:
+        os.makedirs(os.path.join(stage, d), exist_ok=True)
+    _sweep_stage(router, stage, keep_above=1)
+    left = sorted(os.listdir(stage))
+    assert left == ["epoch=00000002.fetch", "epoch=00000002.fetch.inprogress"], left
+    _sweep_stage(router, stage)  # no guard: everything unreferenced goes
+    assert sorted(os.listdir(stage)) == [], os.listdir(stage)
