@@ -1191,19 +1191,30 @@ def fetch_winners_auto(
     n_events: int | None = None,
     min_events: int | None = None,
     top_share: float | None = None,
+    profile: tuple[list[str], float] | None = None,
 ) -> DataFrame:
-    """Winner fold with measured dispatch: one sampled key-profile job
+    """Winner fold with measured dispatch: a sampled key profile
     decides between the sequential per-key kernel (`fetch_winners`) and
     the parallel-prefix tree fold (`fetch_winners_tree`) — the tree
     only wins when one timeline dominates the epoch (crossover data in
     BENCH.md; both kernels are test-pinned row-equal). Small epochs
-    skip the profile job outright. In the pipelined replay the profile
-    runs on the prefetch thread, i.e. off the commit critical path."""
+    skip the profile job outright.
+
+    `profile`: pass `sample_key_profile(...)` of the PRE-resolve frame
+    when the caller holds one persisted (or cheaply re-readable) —
+    sampling `events` here would recompute the whole resolve lineage
+    for one tiny aggregate (measured 6.8 s vs 0.63 s on a 500k-event
+    epoch; resolved PK-change twins shift the key shares only second-
+    order, same hot set either way). In the pipelined replay the
+    profile runs on the prefetch thread, off the commit critical
+    path."""
     lo = _TREE_MIN_EVENTS if min_events is None else min_events
     bar = _TREE_TOP_SHARE if top_share is None else top_share
     if not n_events or n_events < lo:
         return fetch_winners(events, drops, n_events=n_events)
-    hot, top = sample_key_profile(events, n_events)
+    hot, top = profile if profile is not None else sample_key_profile(
+        events, n_events
+    )
     if hot and top >= bar:
         return fetch_winners_tree(events, drops, n_events=n_events,
                                   hot_keys=hot)
@@ -1614,11 +1625,20 @@ def fetch_delta_from_events(
     filter already minimizes the round-0 fold; the fused pass's
     tainted-key patch fold and larger persisted frame offset the saved
     fold, so the simpler unfused pipeline stays."""
+    # profile the PRE-resolve frame (persisted by build_fetch_delta;
+    # a pruned parquet slice re-read in the multi-table tail) — see
+    # fetch_winners_auto's docstring for the measured why
+    profile = (
+        sample_key_profile(events, n_events)
+        if n_events and n_events >= _TREE_MIN_EVENTS else None
+    )
     events = resolve_cross_key(spark, events, drops, n_pk_change=n_pk_change)
     if winners_impl == "expr":
         winners = track_persist(fetch_winners_expr(events, drops))
     else:
-        winners = track_persist(fetch_winners_auto(events, drops, n_events=n_events))
+        winners = track_persist(fetch_winners_auto(
+            events, drops, n_events=n_events, profile=profile,
+        ))
     state = table.read_resolved(spark)
     return fetch_delta(spark, winners, state, table.state()["registry"],
                        needy_bound=n_events)
@@ -1648,8 +1668,14 @@ def prepare_fetch_epoch(
     global release would let epoch N's cleanup drop epoch N+1's
     in-flight prefetch caches."""
     events = normalize_fetch(batch).persist()
+    profile = (
+        sample_key_profile(events, n_events)
+        if n_events and n_events >= _TREE_MIN_EVENTS else None
+    )
     resolved = resolve_cross_key(spark, events, drops, n_pk_change=n_pk_change)
-    winners = fetch_winners_auto(resolved, drops, n_events=n_events).persist()
+    winners = fetch_winners_auto(
+        resolved, drops, n_events=n_events, profile=profile,
+    ).persist()
     n_needy = (
         winners.filter(
             F.col("need_tokens") | F.col("need_source") | F.col("need_extra")
