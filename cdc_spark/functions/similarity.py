@@ -222,6 +222,7 @@ def build_ivf_index(
     `ivf_topk` scan-prune. This is the 100-TB layout: assignment is a
     one-time write-side cost; every query touches n_probe/n_clusters of
     the data."""
+    _require_local_root(path, "build_ivf_index")
     import json
     import os
 
@@ -289,6 +290,24 @@ def _assign_and_write(
     }
 
 
+def _require_local_root(path: str, op: str) -> None:
+    """Index MAINTENANCE (build/append/fold/rebuild) manages metadata
+    sidecars (`_centroids.json`, `_stats.json`, `_schema.json`) and the
+    atomic swap with driver-local open()/os.rename — fail FAST on a
+    URI-scheme root instead of paying a full index rewrite and then
+    crashing on the first sidecar (leaving an orphaned temp dir on the
+    object store). Index READS (probes) support remote roots via the
+    Hadoop FS API; porting maintenance needs those sidecars routed
+    through it too."""
+    if "://" in path:
+        raise NotImplementedError(
+            f"{op} requires a driver-local index root (got {path!r}): "
+            "metadata sidecars and the atomic directory swap are "
+            "driver-local file ops. Probes/reads DO support remote "
+            "roots."
+        )
+
+
 def _write_ivf_stats(path: str, stats: dict) -> None:
     import json
     import os
@@ -343,6 +362,7 @@ def append_ivf_delta(
     much worse the frozen centroids fit the drifted distribution;
     delta_frac guards the case where deltas fit WELL but dwarf the
     sample the quantizer was fit on."""
+    _require_local_root(path, "append_ivf_delta")
     import json
     import os
 
@@ -416,10 +436,22 @@ def fold_ivf_delta(spark, path: str) -> dict:
     of O(n_probe × generations) and bounds small-file growth. Builds to
     a sibling dir and atomically swaps, like rebuild; quantization
     stats fold delta → base unchanged in total (the fit didn't move).
-    Returns {folded_generations, n_vectors}."""
+    Returns {folded_generations, n_vectors}.
+
+    Cluster counts in the folded stats come from the DATA (one
+    per-cluster aggregate on the same scan budget the old total-count
+    job spent), not from summing recorded stats: a generation dir
+    orphaned by a crash between `_assign_and_write` and
+    `_write_ivf_stats` has vectors but no `delta_clusters` entry, and
+    folding its rows while missing its counts would skew every later
+    append's drift math. sum_d2 still merges from the recorded stats
+    (an orphan's unrecorded error mass slightly UNDER-states drift —
+    conservative in the safe direction, and exact again after the next
+    rebuild)."""
     import os
     import shutil
 
+    _require_local_root(path, "fold_ivf_delta")
     gens = _ivf_gen_dirs(spark, path)
     if not gens:
         return {"folded_generations": 0, "n_vectors": 0}
@@ -429,18 +461,26 @@ def fold_ivf_delta(spark, path: str) -> dict:
     allv = _ivf_all_dirs(spark, path)  # carries the frozen _cluster
     tmp = path + ".fold"
     shutil.rmtree(tmp, ignore_errors=True)
-    n = allv.count()
+    true_n = {
+        str(int(r["_cluster"])): int(r["n"])
+        for r in allv.groupBy("_cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(true_n.values())
     allv.write.mode("overwrite").partitionBy("_cluster").parquet(tmp)
     with open(os.path.join(path, "_centroids.json")) as f, \
             open(os.path.join(tmp, "_centroids.json"), "w") as g:
         g.write(f.read())
     with open(os.path.join(tmp, "_schema.json"), "w") as f:
         f.write(allv.schema.json())
-    merged = dict(stats.get("clusters", {}))
-    for c, s in stats.get("delta_clusters", {}).items():
-        acc = merged.setdefault(c, {"n": 0, "sum_d2": 0.0})
-        acc["n"] += s["n"]
-        acc["sum_d2"] += s["sum_d2"]
+    merged = {
+        c: {"n": 0, "sum_d2": 0.0} for c in true_n
+    }
+    for src in (stats.get("clusters", {}), stats.get("delta_clusters", {})):
+        for c, s in src.items():
+            acc = merged.setdefault(c, {"n": 0, "sum_d2": 0.0})
+            acc["sum_d2"] += s["sum_d2"]
+    for c, cnt in true_n.items():
+        merged[c]["n"] = cnt
     _write_ivf_stats(tmp, {
         "clusters": merged, "delta_clusters": {}, "delta_dirs": [],
     })
@@ -464,6 +504,7 @@ def rebuild_ivf_index(
     """Re-fit the quantizer over base+deltas and rewrite the index — the
     explicit maintenance pass append_ivf_delta's drift flag asks for.
     Builds to a sibling dir, then atomically swaps."""
+    _require_local_root(path, "rebuild_ivf_index")
     import os
     import shutil
 

@@ -843,7 +843,14 @@ def resolve_cross_key(
 
 
 def _collect_pendings(events: DataFrame) -> list[dict]:
-    """Driver-collect the (capped) cross-key pending set as dicts."""
+    """Driver-collect the (capped) cross-key pending set as dicts.
+
+    Deliberately STRICTER than the default impl's soft cap: this legacy
+    twin collects full pending ROWS (payload arrays and maps, not the
+    two-string edges the single-pass resolver collects), so its driver
+    memory bound is genuinely lower — a mass re-key epoch above
+    `_PENDING_MAX` must run the default impl="pandas" path, which
+    degrades gracefully up to `_PENDING_HARD_MAX`."""
 
     def to_dict(row) -> dict:
         d = dict(zip(_NAMES, row))
@@ -863,8 +870,9 @@ def _collect_pendings(events: DataFrame) -> list[dict]:
     if len(pend_rows) > _PENDING_MAX:
         raise ValueError(
             f"more than {_PENDING_MAX} cross-key (PK-change) fetch events "
-            "in one epoch; refusing to resolve a pathological feed "
-            "driver-side"
+            "in one epoch; the expr twin collects full pending rows "
+            "driver-side — use the default impl='pandas' resolver, which "
+            f"degrades gracefully up to {_PENDING_HARD_MAX} edges"
         )
     return pend_rows
 
@@ -984,11 +992,7 @@ def fetch_winners(
     exchange to the DATA, ceil(n_events/_EVENTS_PER_FOLD_PART)
     partitions, uncapped: a big epoch gets more folds than the session
     default (bounding per-task pandas memory), a small one gets fewer
-    Python-worker round trips. The count is a SIZING heuristic only —
-    callers may pass a raw batch count (incl. heartbeats/DDL) or a
-    pure-DML count that misses resolved PK-change twins; a small over-
-    or undercount just shifts partition granularity, never correctness.
-    AQE cannot do this here — coalescing
+    Python-worker round trips. AQE cannot do this here — coalescing
     skips user repartitions and a REBALANCE hint may split one key's
     timeline across tasks, which the fold cannot tolerate. Without the
     count, the session shuffle default applies.
@@ -1048,7 +1052,10 @@ def fetch_winners(
 _TRANSITION_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
-        T.StructField("chunk", T.IntegerType()),
+        # long, not int: lsns can be byte offsets (WAL positions) far
+        # above chunk_width*2^31 — an int32 chunk would wrap negative
+        # and compose later lsn ranges BEFORE earlier ones
+        T.StructField("chunk", T.LongType()),
         T.StructField("restarted", T.BooleanType()),
         T.StructField("tokens", T.ArrayType(T.IntegerType())),
         T.StructField("n_tok", T.IntegerType()),
@@ -1133,17 +1140,11 @@ def sample_hot_keys(
     """Keys whose estimated timeline share exceeds `share` of the epoch
     (one job over a bounded sample) — the split set for
     fetch_winners_tree. At Zipf-1.2 skew the top key alone holds ~18%
-    of events; everything below `share` folds fine in one task."""
-    if not n_events:
-        return []
-    frac = min(1.0, sample_rows / float(n_events))
-    thr = max(4.0, share * n_events * frac)
-    cnt = (
-        events.sample(fraction=frac, seed=seed)
-        .groupBy("doc_id").count()
-        .filter(F.col("count") >= F.lit(thr))
-    )
-    return [r["doc_id"] for r in cnt.collect()]
+    of events; everything below `share` folds fine in one task.
+    Delegates to sample_key_profile so both dispatch paths share ONE
+    sampling definition (fraction/threshold/seed)."""
+    return sample_key_profile(events, n_events, share=share,
+                              sample_rows=sample_rows, seed=seed)[0]
 
 
 #: fetch_winners_auto dispatch gates (interleaved best-of-3 A/B at 8
@@ -1263,10 +1264,10 @@ def fetch_winners_tree(
             F.when(
                 F.col("doc_id").isin(list(hot_keys)),
                 F.floor(F.col("lsn") / F.lit(int(chunk_width))),
-            ).otherwise(F.lit(0)).cast("int")
+            ).otherwise(F.lit(0)).cast("long")
         )
     else:
-        chunk_col = F.lit(0).cast("int")
+        chunk_col = F.lit(0).cast("long")
     staged = events.select(*_NAMES, chunk_col.alias("chunk"))
 
     def fold_segments(batches):
@@ -1668,20 +1669,33 @@ def prepare_fetch_epoch(
     global release would let epoch N's cleanup drop epoch N+1's
     in-flight prefetch caches."""
     events = normalize_fetch(batch).persist()
-    profile = (
-        sample_key_profile(events, n_events)
-        if n_events and n_events >= _TREE_MIN_EVENTS else None
-    )
-    resolved = resolve_cross_key(spark, events, drops, n_pk_change=n_pk_change)
-    winners = fetch_winners_auto(
-        resolved, drops, n_events=n_events, profile=profile,
-    ).persist()
-    n_needy = (
-        winners.filter(
-            F.col("need_tokens") | F.col("need_source") | F.col("need_extra")
+    winners = None
+    try:
+        profile = (
+            sample_key_profile(events, n_events)
+            if n_events and n_events >= _TREE_MIN_EVENTS else None
         )
-        .select("state_key").distinct().count()
-    )
+        resolved = resolve_cross_key(spark, events, drops,
+                                     n_pk_change=n_pk_change)
+        winners = fetch_winners_auto(
+            resolved, drops, n_events=n_events, profile=profile,
+        ).persist()
+        n_needy = (
+            winners.filter(
+                F.col("need_tokens") | F.col("need_source") | F.col("need_extra")
+            )
+            .select("state_key").distinct().count()
+        )
+    except BaseException:
+        # a raise between persist() and return would pin the caches for
+        # the session's lifetime (callers only release what we return)
+        for df in (events, winners):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        raise
     return {
         "winners": winners,
         "n_needy": n_needy,

@@ -52,13 +52,21 @@ def hash_exchange_widths(df: DataFrame) -> dict[str, list[int]]:
     # formatted mode details an Exchange as "Arguments: hashpartitioning(
     # cols..., N), REPARTITION_BY_NUM"; simple mode inlines it as
     # "Exchange hashpartitioning(...)" — match both
+    # keys may themselves contain parens (cast(col as string),
+    # pmod(xxhash64(...), 32)) — allow one nesting level in the arg
+    # scan and anchor the partition count as the LAST bare integer
+    # before the closing paren
     for m in re.finditer(
-        r"(?:Exchange |Arguments: )hashpartitioning\(([^)]*)\)",
+        r"(?:Exchange |Arguments: )hashpartitioning\("
+        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)",
         formatted_plan(df),
     ):
-        args = m.group(1).split(", ")
-        key = args[0].split("#")[0]
-        out.setdefault(key, []).append(int(args[-1]))
+        args = m.group(1)
+        key = args.split("#")[0].split("(")[-1].strip()
+        tail = re.search(r"(\d+)\s*$", args)
+        if tail is None:
+            continue
+        out.setdefault(key, []).append(int(tail.group(1)))
     return out
 
 
