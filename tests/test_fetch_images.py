@@ -421,3 +421,30 @@ def test_fetch_state_join_fallback_above_caps(spark, workdir, keys_binlog, monke
                    images="fetch", lineage=False)
     _assert_fetch_matches_oracle(spark, table, keys_binlog)
 
+
+
+def test_replay_failure_drains_prefetch(spark, workdir):
+    """A mid-run failure (epoch 1 carries unknown ops) must leave no
+    pinned caches behind: the pipelined replay's in-flight prefetch for
+    epoch 2 is drained (its persisted frames released) before the
+    ValueError propagates — otherwise every caught-and-continued feed
+    error would leak an epoch's normalized-events cache for the
+    session's lifetime."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cdc_spark.streaming.pipeline import replay
+
+    cfg = GenConfig(n_events=3000, n_docs=200, events_per_epoch=1000, seed=5)
+    d = f"{workdir}/binlog_drain"
+    write_binlog_keys(cfg, d)
+    for p in glob.glob(f"{d}/segment-00001*.parquet"):
+        t = pq.read_table(p)
+        i = t.schema.get_field_index("op_type")
+        t = t.set_column(i, "op_type", pa.array(["X"] * t.num_rows))
+        pq.write_table(t, p)
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with pytest.raises(ValueError, match="unknown op_type"):
+        replay(spark, d, f"{workdir}/table_drain", images="fetch")
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before, (before, after)
