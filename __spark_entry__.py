@@ -840,6 +840,38 @@ def _q_fetch_replay_final(spark, sf):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _q_hot_key_fetch_final(spark, sf):
+    """Engine drive of the DOMINANT-TIMELINE regime (round 5): a
+    zipf-2.2 key-only feed whose top key holds ~2/3 of the epoch trips
+    `fetch_winners_auto`'s sampled dispatch (top-share ≥0.30 at ≥250k
+    DML events) into the parallel-prefix tree fold — the driver-visible
+    pin that the TREE path, through the unmodified production replay,
+    reproduces the fetch-mode oracle (the other fetch entries stay
+    under the dispatch gates and pin the sequential kernel). Reference
+    shape: CTInputDStream.java:112-131; a mass re-key/rewrite feed is
+    the 100-TB case where one entity dominates an epoch."""
+    from cdc_spark import oracle as _oracle
+    from cdc_spark.genlog import GenConfig, write_binlog_keys
+    from cdc_spark.streaming.pipeline import replay
+
+    work = tempfile.mkdtemp(prefix="cdc_hotfetch_")
+    try:
+        cfg = GenConfig(
+            n_events=260_000, n_docs=20_000, events_per_epoch=260_000,
+            seed=42, zipf_s=2.2,
+        )
+        write_binlog_keys(cfg, f"{work}/binlog", parts=8)
+        table = replay(spark, f"{work}/binlog", f"{work}/table",
+                       images="fetch", lineage=False)
+        out = _summary_cols(table.read_resolved(spark))
+        state, reg = _oracle.replay(f"{work}/binlog/segment-*.parquet",
+                                    images="fetch")
+        out = _digest_columns(out, _oracle_summary_rows(state, reg))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_multi_table_fetch_replay(spark, sf):
     """Engine drive: a 2-table KEY-ONLY binlog (reference CT shape,
     routed per table — CTInputDStream.java:65-99 × 112-131) replayed
@@ -975,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_final_state": _q_replay_final,
         "cdc_replay_final_state_honest": _q_replay_final_honest,
         "cdc_fetch_replay_final_state": _q_fetch_replay_final,
+        "cdc_hot_key_fetch_final_state": _q_hot_key_fetch_final,
         "cdc_multi_table_replay": _q_multi_table_replay,
         "cdc_multi_table_fetch_replay": _q_multi_table_fetch_replay,
     }

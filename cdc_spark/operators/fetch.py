@@ -1217,6 +1217,10 @@ def fetch_winners_auto(
         events, n_events
     )
     if hot and top >= bar:
+        _LOG.info(
+            "winner fold dispatch: tree (top-key share %.2f >= %.2f, "
+            "%d hot keys, %d events)", top, bar, len(hot), n_events,
+        )
         return fetch_winners_tree(events, drops, n_events=n_events,
                                   hot_keys=hot)
     return fetch_winners(events, drops, n_events=n_events)
