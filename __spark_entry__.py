@@ -456,6 +456,36 @@ def _q_bpe_tokens(spark, sf):
     )
 
 
+def _q_pack_manifest(spark, sf):
+    """P17: training-sequence packing manifest (concat-and-chunk) —
+    global token offsets via a two-phase distributed prefix sum (no
+    SinglePartition window; see functions/packing.py's scale notes).
+    The oracle is the plain global-window cumsum."""
+    from cdc_spark.functions.packing import pack_manifest
+    from cdc_spark.functions.text import token_count
+
+    d = _load(spark, sf, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    return pack_manifest(d, seq_len=256, n_buckets=16)
+
+
+def _q_decontaminate(spark, sf):
+    """P18: benchmark decontamination — training docs sharing an
+    8-gram with the eval set. Eval texts are deterministic 40-word
+    snippets of every 23rd doc (planted contamination: the sources
+    themselves must surface; chance 8-gram collisions are the noise
+    floor the operator is meant to ignore)."""
+    from cdc_spark.functions.contamination import contaminated
+
+    d = _load(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    ev = d.filter(F.col("doc_id") % 23 == 0).select(
+        F.concat_ws(" ", F.slice(words, 1, 40)).alias("text")
+    )
+    return contaminated(d, ev, k=8)
+
+
 def _q_emb_near_dup_exact(spark, sf):
     from cdc_spark.functions.similarity import exact_pairs_blocked
 
@@ -989,6 +1019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": _q_dup_clusters,
         "doc_dup_clusters_inc": _q_dup_clusters_inc,
         "corpus_stratified_sample": _q_stratified_sample,
+        "corpus_pack_manifest": _q_pack_manifest,    # P17 sequence packing
+        "doc_decontaminate": _q_decontaminate,       # P18 eval-overlap scrub
         "emb_l2_norm": _q_emb_norm,
         "emb_cosine_topk": _q_emb_topk,
         "emb_near_dup_exact": _q_emb_near_dup_exact,
@@ -1149,6 +1181,8 @@ def oracle_sql() -> dict[str, str]:
         # re-cluster: same oracle, split-invariance IS the check
         "doc_dup_clusters_inc": _sql_dup_clusters_over_variants(),
         "corpus_stratified_sample": _sql_stratified_sample_docs(),
+        "corpus_pack_manifest": _sql_pack_manifest_docs(),
+        "doc_decontaminate": _sql_decontaminate_docs(),
         "doc_simhash": sql_simhash_query(),
         "doc_ngram_jaccard": _sql_jaccard_over_variants(),
         "doc_rolling_fp": f"""
@@ -1317,3 +1351,20 @@ def _sql_stratified_sample_docs() -> str:
     return sql_stratified_sample(
         table="documents", select="doc_id, source, lang"
     )
+
+
+def _sql_pack_manifest_docs() -> str:
+    from cdc_spark.functions.packing import sql_pack_manifest
+
+    return sql_pack_manifest(seq_len=256, table="documents")
+
+
+def _sql_decontaminate_docs() -> str:
+    from cdc_spark.functions.contamination import sql_contaminated
+
+    ev = (
+        "SELECT array_to_string("
+        "(regexp_split_to_array(trim(text), '\\s+'))[1:40], ' ') AS text "
+        "FROM documents WHERE doc_id % 23 = 0"
+    )
+    return sql_contaminated(ev, k=8, table="documents")

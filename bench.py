@@ -68,6 +68,9 @@ HEADLINE = [
     "corpus_stratified_sample",
     # added round 4
     "emb_cosine_topk_ivf_inc",
+    # added round 5
+    "corpus_pack_manifest",
+    "doc_decontaminate",
 ]
 
 #: key-only fetch replay is ~an order heavier per event than carry

@@ -1,0 +1,120 @@
+"""P17 sequence packing + P18 decontamination: semantics and the plan
+properties their 100-TB shapes depend on (two-phase prefix sum with no
+SinglePartition window; broadcast eval-side probe)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cdc_spark.functions.contamination import contaminated
+from cdc_spark.functions.packing import pack_manifest
+from cdc_spark.plans.inspect import formatted_plan
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_tok long")
+
+
+def test_pack_offsets_are_exact_prefix_sum(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(0, 200, 3)]
+    got = {
+        r["doc_id"]: r
+        for r in pack_manifest(_docs(spark, rows), seq_len=32, n_buckets=8).collect()
+    }
+    off = 0
+    for doc_id, n in rows:  # already in ascending id order
+        r = got[doc_id]
+        assert r["tok_offset"] == off
+        assert r["seq_first"] == off // 32
+        assert r["seq_last"] == (off + n - 1) // 32
+        assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1
+        off += n
+    assert len(got) == len(rows)
+
+
+def test_pack_invariant_to_bucket_count(spark):
+    """The parallelism knob must never change the answer — buckets 1
+    (fully serial), 7 (uneven), 64 (more buckets than rows for the
+    tail) all produce the identical manifest."""
+    rows = [(i * 11 + (i % 5), (i % 17) + 1) for i in range(150)]
+    ref = sorted(
+        map(tuple, pack_manifest(_docs(spark, rows), 16, n_buckets=1).collect())
+    )
+    for b in (7, 64):
+        cur = sorted(
+            map(tuple, pack_manifest(_docs(spark, rows), 16, n_buckets=b).collect())
+        )
+        assert cur == ref
+
+
+def test_pack_zero_token_doc_occupies_its_sequence(spark):
+    rows = [(1, 10), (2, 0), (3, 5)]
+    got = {r["doc_id"]: r for r in pack_manifest(_docs(spark, rows), 8).collect()}
+    assert got[2]["tok_offset"] == 10
+    assert got[2]["seq_first"] == got[2]["seq_last"] == 1
+    assert got[2]["n_seqs"] == 1
+    # the zero-token doc consumes no tokens: doc 3 starts where doc 2 did
+    assert got[3]["tok_offset"] == 10
+
+
+def test_pack_empty_input(spark):
+    out = pack_manifest(_docs(spark, []), 8)
+    assert out.count() == 0
+    assert out.columns == [
+        "doc_id", "n_tok", "tok_offset", "seq_first", "seq_last", "n_seqs"
+    ]
+
+
+def test_pack_plan_has_no_single_partition_window(spark):
+    """The scale pin: the cumsum window partitions by the range bucket
+    (parallel) and the per-bucket bases arrive via broadcast — a global
+    Window.orderBy would plan Exchange SinglePartition and serialize
+    the whole corpus through one task."""
+    rows = [(i, i % 9 + 1) for i in range(500)]
+    plan = formatted_plan(pack_manifest(_docs(spark, rows), 64, n_buckets=8))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(_bkt" in plan
+    assert "BroadcastExchange" in plan
+
+
+def _texts(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_EVAL = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+
+
+def test_contaminated_finds_planted_overlap(spark):
+    train = _texts(
+        spark,
+        [
+            # doc 1 embeds 9 eval words -> two overlapping 8-grams
+            (1, "zzz " + " ".join(_EVAL.split()[:9]) + " yyy"),
+            (2, "completely unrelated words nothing shared here at all ok"),
+            # doc 3 shares only 7 consecutive words: below k=8, clean
+            (3, "pre " + " ".join(_EVAL.split()[:7]) + " post"),
+        ],
+    )
+    ev = _texts(spark, [(100, _EVAL)]).select("text")
+    got = {r["doc_id"]: r["n_hits"] for r in contaminated(train, ev, k=8).collect()}
+    assert got == {1: 2}
+
+
+def test_contaminated_counts_distinct_grams_once(spark):
+    """A doc repeating the same eval 8-gram twice counts it once."""
+    g = " ".join(_EVAL.split()[:8])
+    train = _texts(spark, [(1, g + " xxx " + g)])
+    ev = _texts(spark, [(0, _EVAL)]).select("text")
+    got = contaminated(train, ev, k=8).collect()
+    assert [(r["doc_id"], r["n_hits"]) for r in got] == [(1, 1)]
+
+
+def test_contaminated_plan_broadcasts_eval_side(spark):
+    """100-TB shape: the eval gram set broadcasts; the corpus streams
+    through a BroadcastHashJoin with no corpus-sized sort-merge."""
+    train = _texts(spark, [(i, f"w{i} w{i + 1} w{i + 2}") for i in range(50)])
+    ev = _texts(spark, [(0, _EVAL)]).select("text")
+    plan = formatted_plan(contaminated(train, ev, k=2))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
