@@ -486,6 +486,42 @@ def _q_decontaminate(spark, sf):
     return contaminated(d, ev, k=8)
 
 
+def _q_pack_sequences(spark, sf):
+    """P17 end-to-end: materialize the packed training sequences from
+    the manifest (explode overlaps → shuffle by seq_id → ordered
+    flatten; groups perfectly balanced at seq_len tokens by
+    construction). Per-sequence content is pinned through the driver's
+    scalar hash as a polynomial fingerprint of the token array (the
+    contract surface stays scalar; the arrays themselves are compared
+    row-exactly in tests/test_packing.py)."""
+    from cdc_spark.functions.dedup import str_hash60
+    from cdc_spark.functions.packing import emit_sequences
+    from cdc_spark.functions.text import word_array
+
+    from cdc_spark.caching import track_persist
+
+    # persist the tokenized corpus: the manifest's bounds/totals jobs,
+    # the join, and the overlap slices would otherwise each re-evaluate
+    # the interpreted md5 token transform (CLAUDE.md: md5-heavy array
+    # exprs go behind a barrier or persist)
+    d = track_persist(
+        _load(spark, sf, "documents").select(
+            "doc_id",
+            F.transform(
+                word_array(F.col("text")),
+                lambda w: F.pmod(str_hash60(w), F.lit(32768)),
+            ).alias("tokens"),
+        )
+    )
+    out = emit_sequences(d, seq_len=256, n_buckets=16)
+    fp = F.aggregate(
+        F.col("tokens"),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % F.lit(1_000_000_007),
+    )
+    return out.select("seq_id", "n_tok", fp.alias("tok_fp"))
+
+
 def _q_emb_near_dup_exact(spark, sf):
     from cdc_spark.functions.similarity import exact_pairs_blocked
 
@@ -1020,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters_inc": _q_dup_clusters_inc,
         "corpus_stratified_sample": _q_stratified_sample,
         "corpus_pack_manifest": _q_pack_manifest,    # P17 sequence packing
+        "corpus_pack_sequences": _q_pack_sequences,  # P17 materialized sequences
         "doc_decontaminate": _q_decontaminate,       # P18 eval-overlap scrub
         "emb_l2_norm": _q_emb_norm,
         "emb_cosine_topk": _q_emb_topk,
@@ -1182,6 +1219,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_clusters_inc": _sql_dup_clusters_over_variants(),
         "corpus_stratified_sample": _sql_stratified_sample_docs(),
         "corpus_pack_manifest": _sql_pack_manifest_docs(),
+        "corpus_pack_sequences": _sql_pack_sequences_docs(),
         "doc_decontaminate": _sql_decontaminate_docs(),
         "doc_simhash": sql_simhash_query(),
         "doc_ngram_jaccard": _sql_jaccard_over_variants(),
@@ -1357,6 +1395,49 @@ def _sql_pack_manifest_docs() -> str:
     from cdc_spark.functions.packing import sql_pack_manifest
 
     return sql_pack_manifest(seq_len=256, table="documents")
+
+
+def _sql_pack_sequences_docs() -> str:
+    from cdc_spark.functions.dedup import sql_hash60
+
+    L = 256
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                w -> ({sql_hash60('w')} % 32768)) AS tokens
+          FROM documents
+        ),
+        man AS (
+          SELECT doc_id, tokens, n_tok,
+                 CAST(sum(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tok AS BIGINT) AS tok_offset
+          FROM (SELECT doc_id, tokens, CAST(len(tokens) AS BIGINT) AS n_tok
+                FROM toks) t0
+        ),
+        contrib AS (
+          SELECT seq_id, tok_offset,
+                 tokens[CAST(greatest(seq_id * {L} - tok_offset, 0) AS BIGINT) + 1 :
+                        CAST(least((seq_id + 1) * {L} - tok_offset, n_tok) AS BIGINT)] AS chunk
+          FROM (
+            SELECT tokens, n_tok, tok_offset,
+                   UNNEST(generate_series(
+                     CAST(floor(tok_offset / {L}) AS BIGINT),
+                     CAST(floor((tok_offset + greatest(n_tok, 1) - 1) / {L}) AS BIGINT)
+                   )) AS seq_id
+            FROM man
+          ) g
+        ),
+        seqs AS (
+          SELECT seq_id, flatten(list(chunk ORDER BY tok_offset)) AS tokens
+          FROM contrib WHERE len(chunk) > 0 GROUP BY seq_id
+        )
+        SELECT seq_id, CAST(len(tokens) AS BIGINT) AS n_tok,
+               list_reduce(list_prepend(0::BIGINT, tokens),
+                           (acc, x) -> (acc * 31 + x) % 1000000007) AS tok_fp
+        FROM seqs
+    """
 
 
 def _sql_decontaminate_docs() -> str:

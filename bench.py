@@ -70,6 +70,7 @@ HEADLINE = [
     "emb_cosine_topk_ivf_inc",
     # added round 5
     "corpus_pack_manifest",
+    "corpus_pack_sequences",
     "doc_decontaminate",
 ]
 

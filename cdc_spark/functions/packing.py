@@ -118,6 +118,69 @@ def pack_manifest(
     )
 
 
+def emit_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Materialize the packed training sequences: (seq_id, tokens,
+    n_tok) where every sequence holds exactly `seq_len` tokens from the
+    id-ordered concatenation of all docs' tokens (the final sequence
+    may be shorter; padding policy belongs to the trainer). `df` is the
+    tokenized corpus — (id_col, tokens_col: array<numeric>).
+
+    Scale shape: the manifest (a pure column projection per doc) tells
+    each doc exactly which sequences it feeds, so the emit is
+    explode(seq range) → slice the doc's overlap → ONE shuffle keyed by
+    seq_id → in-group ordered flatten. Every property is bounded by
+    construction: a doc spans ≤ ceil(n_tok/L)+1 sequences (explode
+    fan-out is O(total_tokens/L) rows), and a sequence receives ≤ L
+    contributor chunks of ≤ L tokens each — groups are PERFECTLY
+    balanced at exactly seq_len tokens, so the assembling aggregation
+    has zero skew by design (the rare property the LWW dedupe needs
+    salting to approximate). No sequence ever concentrates load the way
+    a hot doc_id does.
+    """
+    man = pack_manifest(
+        df.select(F.col(id_col), F.size(tokens_col).cast("long").alias("_nt")),
+        seq_len,
+        id_col=id_col,
+        n_tok_col="_nt",
+        n_buckets=n_buckets,
+    ).select(id_col, "tok_offset", "seq_first", "seq_last")
+    src = df.select(id_col, tokens_col).join(man, id_col)
+    seq = F.explode(F.sequence(F.col("seq_first"), F.col("seq_last"))).alias(
+        "seq_id"
+    )
+    contrib = src.select(F.col(id_col), F.col(tokens_col), "tok_offset", seq)
+    # the doc's token range is [tok_offset, tok_offset + n_tok); sequence
+    # s covers [s*L, (s+1)*L) — contribute the (1-based) overlap slice
+    lo = F.greatest(F.col("seq_id") * seq_len - F.col("tok_offset"), F.lit(0))
+    hi = F.least(
+        (F.col("seq_id") + 1) * seq_len - F.col("tok_offset"),
+        F.size(tokens_col).cast("long"),
+    )
+    contrib = contrib.select(
+        "seq_id",
+        F.col("tok_offset"),
+        F.slice(F.col(tokens_col), lo + 1, hi - lo).alias("_chunk"),
+    ).filter(F.size("_chunk") > 0)
+    # array_sort on the struct orders by tok_offset (its first field),
+    # so the flatten concatenates chunks in corpus order
+    out = (
+        contrib.groupBy("seq_id")
+        .agg(F.array_sort(F.collect_list(F.struct("tok_offset", "_chunk"))).alias("_c"))
+        .select(
+            "seq_id",
+            F.flatten(F.transform("_c", lambda c: c["_chunk"])).alias(tokens_col),
+        )
+        .withColumn("n_tok", F.size(tokens_col).cast("long"))
+    )
+    return out
+
+
 def sql_pack_manifest(
     seq_len: int,
     table: str = "documents",

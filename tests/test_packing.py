@@ -78,6 +78,67 @@ def test_pack_plan_has_no_single_partition_window(spark):
     assert "BroadcastExchange" in plan
 
 
+def _tok_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, tokens array<long>")
+
+
+def _py_pack(rows, L):
+    """Trivially-correct packer: concat in id order, chop every L."""
+    stream = [t for _, toks in sorted(rows) for t in toks]
+    return {
+        s: stream[s * L : (s + 1) * L]
+        for s in range((len(stream) + L - 1) // L)
+    }
+
+
+def test_emit_sequences_matches_python_packer(spark):
+    from cdc_spark.functions.packing import emit_sequences
+
+    rows = [(i * 3 + i % 2, [(i * 31 + j) % 97 for j in range((i % 11) + 1)])
+            for i in range(60)]
+    got = {
+        r["seq_id"]: list(r["tokens"])
+        for r in emit_sequences(_tok_docs(spark, rows), 16, n_buckets=5).collect()
+    }
+    assert got == _py_pack(rows, 16)
+
+
+def test_emit_sequences_exact_lengths_and_stream_equality(spark):
+    """Every sequence is exactly L tokens except possibly the last, and
+    re-concatenating sequences in seq_id order reproduces the corpus
+    token stream exactly (the packing invariant)."""
+    from cdc_spark.functions.packing import emit_sequences
+
+    rows = [(i, [i * 100 + j for j in range(i % 7 + 1)]) for i in range(40)]
+    out = sorted(
+        (r["seq_id"], list(r["tokens"]), r["n_tok"])
+        for r in emit_sequences(_tok_docs(spark, rows), 8).collect()
+    )
+    stream = [t for _, toks in sorted(rows) for t in toks]
+    assert [s for s, _, _ in out] == list(range(len(out)))
+    for s, toks, n in out[:-1]:
+        assert len(toks) == n == 8
+    assert [t for _, toks, _ in out for t in toks] == stream
+
+
+def test_emit_sequences_skips_empty_docs(spark):
+    from cdc_spark.functions.packing import emit_sequences
+
+    rows = [(1, [1, 2, 3]), (2, []), (3, [4, 5])]
+    got = {r["seq_id"]: list(r["tokens"])
+           for r in emit_sequences(_tok_docs(spark, rows), 4).collect()}
+    assert got == {0: [1, 2, 3, 4], 1: [5]}
+
+
+def test_emit_sequences_plan_shuffles_by_seq_id_only(spark):
+    from cdc_spark.functions.packing import emit_sequences
+
+    rows = [(i, [i, i + 1]) for i in range(100)]
+    plan = formatted_plan(emit_sequences(_tok_docs(spark, rows), 8, n_buckets=4))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(seq_id" in plan
+
+
 def _texts(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
