@@ -137,6 +137,20 @@ def main(argv: list[str] | None = None) -> int:
     bs.add_argument("--table", required=True)
     _add_common(bs)
 
+    pk = sub.add_parser(
+        "pack",
+        help="pack the resolved tokens table into fixed-length training "
+             "sequences (P17 concat-and-chunk; the step after CDC ingest "
+             "that feeds the trainer)",
+    )
+    pk.add_argument("--table", required=True)
+    pk.add_argument("--out", required=True, help="output parquet dir "
+                    "(seq_id, tokens, n_tok)")
+    pk.add_argument("--seq-len", type=int, default=2048)
+    pk.add_argument("--n-buckets", type=int, default=64,
+                    help="prefix-sum parallelism (never changes the result)")
+    _add_common(pk)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
@@ -375,6 +389,39 @@ def main(argv: list[str] | None = None) -> int:
             n = table.read_resolved(spark).count()
             print(json.dumps({"bootstrapped": entry is not None, "rows": n,
                               "version": table.state()["version"]}))
+            return 0
+        if args.cmd == "pack":
+            from pyspark.sql import functions as F
+
+            from cdc_spark.functions.packing import emit_sequences
+            from cdc_spark.sinks.target import TargetTable
+
+            t0 = time.monotonic()
+            table = TargetTable(args.table)
+            # the engine's doc ids are 'doc%08d' (fixed width): the
+            # numeric tail is the deterministic concat order
+            src = table.read_resolved(spark).select(
+                F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long").alias("_ord"),
+                F.coalesce(F.col("tokens"), F.array().cast("array<int>")).alias("tokens"),
+            )
+            n_bad = src.filter(F.col("_ord").isNull()).count()
+            if n_bad:
+                print(json.dumps({"error": "doc_id without numeric tail",
+                                  "rows": n_bad}))
+                return 1
+            out = emit_sequences(
+                src.withColumnRenamed("_ord", "doc_id"),
+                args.seq_len, n_buckets=args.n_buckets,
+            )
+            out.write.mode("overwrite").parquet(args.out)
+            st = spark.read.parquet(args.out).agg(
+                F.count("*").alias("n"), F.sum("n_tok").alias("tok")
+            ).first()
+            print(json.dumps({
+                "sequences": int(st["n"]), "tokens": int(st["tok"] or 0),
+                "seq_len": args.seq_len,
+                "seconds": round(time.monotonic() - t0, 2),
+            }))
             return 0
         return 2
     finally:

@@ -139,6 +139,43 @@ def test_emit_sequences_plan_shuffles_by_seq_id_only(spark):
     assert "hashpartitioning(seq_id" in plan
 
 
+def test_pack_cli_packs_resolved_table(spark, workdir, small_binlog):
+    """End-to-end: CDC replay -> `job pack` CLI -> the packed parquet
+    equals the trivially-correct Python packer run over the resolved
+    table (the ingest->training-sequences handoff)."""
+    import json
+    import subprocess
+    import sys
+
+    from cdc_spark.streaming.pipeline import replay
+
+    table_dir = f"{workdir}/pack_cli_table"
+    out_dir = f"{workdir}/pack_cli_out"
+    table = replay(spark, small_binlog, table_dir, lineage=False)
+    rows = [
+        (int(r["doc_id"][3:]), list(r["tokens"] or []))
+        for r in table.read_resolved(spark).select("doc_id", "tokens").collect()
+    ]
+    # subprocess: job.main stops its session on exit, which must not
+    # take the shared test session down with it
+    res = subprocess.run(
+        [sys.executable, "-m", "cdc_spark.job", "pack",
+         "--table", table_dir, "--out", out_dir, "--seq-len", "64",
+         "--master", "local[2]"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    stats = json.loads(res.stdout.strip().splitlines()[-1])
+    expect = _py_pack(rows, 64)
+    assert stats["sequences"] == len(expect)
+    assert stats["tokens"] == sum(len(v) for v in expect.values())
+    got = {
+        r["seq_id"]: list(r["tokens"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == expect
+
+
 def _texts(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
