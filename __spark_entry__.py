@@ -456,6 +456,15 @@ def _q_bpe_tokens(spark, sf):
     )
 
 
+def _q_vocab_top_k(spark, sf):
+    """P19: corpus token-frequency table (the tokenizer-fitting input).
+    Two-level partial aggregation so a corpus-scale stopword collapses
+    map-side; top-k via TakeOrderedAndProject, never a global sort."""
+    from cdc_spark.functions.text import vocab_top_k
+
+    return vocab_top_k(_load(spark, sf, "documents"), k=100)
+
+
 def _q_pack_manifest(spark, sf):
     """P17: training-sequence packing manifest (concat-and-chunk) —
     global token offsets via a two-phase distributed prefix sum (no
@@ -1055,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": _q_dup_clusters,
         "doc_dup_clusters_inc": _q_dup_clusters_inc,
         "corpus_stratified_sample": _q_stratified_sample,
+        "corpus_vocab_top_k": _q_vocab_top_k,        # P19 vocab frequency table
         "corpus_pack_manifest": _q_pack_manifest,    # P17 sequence packing
         "corpus_pack_sequences": _q_pack_sequences,  # P17 materialized sequences
         "doc_decontaminate": _q_decontaminate,       # P18 eval-overlap scrub
@@ -1218,6 +1228,7 @@ def oracle_sql() -> dict[str, str]:
         # re-cluster: same oracle, split-invariance IS the check
         "doc_dup_clusters_inc": _sql_dup_clusters_over_variants(),
         "corpus_stratified_sample": _sql_stratified_sample_docs(),
+        "corpus_vocab_top_k": _sql_vocab_top_k_docs(),
         "corpus_pack_manifest": _sql_pack_manifest_docs(),
         "corpus_pack_sequences": _sql_pack_sequences_docs(),
         "doc_decontaminate": _sql_decontaminate_docs(),
@@ -1389,6 +1400,12 @@ def _sql_stratified_sample_docs() -> str:
     return sql_stratified_sample(
         table="documents", select="doc_id, source, lang"
     )
+
+
+def _sql_vocab_top_k_docs() -> str:
+    from cdc_spark.functions.text import sql_vocab_top_k
+
+    return sql_vocab_top_k(k=100, table="documents")
 
 
 def _sql_pack_manifest_docs() -> str:

@@ -72,6 +72,7 @@ HEADLINE = [
     "corpus_pack_manifest",
     "corpus_pack_sequences",
     "doc_decontaminate",
+    "corpus_vocab_top_k",
 ]
 
 #: key-only fetch replay is ~an order heavier per event than carry

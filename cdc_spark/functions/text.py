@@ -95,6 +95,53 @@ def lang_id(text: Column) -> Column:
     return out
 
 
+def vocab_top_k(
+    df: DataFrame, k: int = 100, text_col: str = "text",
+) -> DataFrame:
+    """Corpus token-frequency table, top-k by count (the input to
+    tokenizer/vocab fitting): (token, n_occurrences, n_docs). Ties
+    break on the token string ascending so the result is deterministic.
+
+    Scale shape: explode(words) is map-side fan-out feeding ONE
+    map-side-combinable aggregation keyed by token (count + per-doc
+    presence via count(distinct) replaced with a two-level agg — the
+    (token, doc) pre-aggregation is itself partial-aggregated, so a
+    stopword appearing 10^9 times collapses to one row per partition
+    before the wire, exactly the hot-key discipline the LWW dedupe
+    uses). The top-k is TakeOrderedAndProject — no global sort ever
+    materializes a corpus-sized ordering.
+    """
+    ex = df.select(
+        F.col("doc_id"), F.explode(word_array(F.col(text_col))).alias("token")
+    )
+    per_doc = ex.groupBy("token", "doc_id").agg(F.count("*").alias("n"))
+    agg = per_doc.groupBy("token").agg(
+        F.sum("n").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
+    )
+    return agg.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(k)
+
+
+def sql_vocab_top_k(
+    k: int = 100, table: str = "documents", text_col: str = "text",
+) -> str:
+    words = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    return f"""
+        SELECT token, CAST(sum(n) AS BIGINT) AS n_occurrences,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM (
+          SELECT token, doc_id, count(*) AS n
+          FROM (SELECT doc_id, UNNEST({words}) AS token FROM {table}) t0
+          GROUP BY token, doc_id
+        ) t1
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT {k}
+    """
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint (md5 — identical in DuckDB)."""
     return F.md5(text)

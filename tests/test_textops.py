@@ -292,3 +292,42 @@ def test_dup_clusters_incremental_corpus_never_shuffles(spark):
     ]
     assert not bad, bad
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_vocab_top_k_counts_and_tiebreak(spark):
+    from cdc_spark.functions.text import vocab_top_k
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b b c"),
+            (2, "b c c"),
+            (3, "zzz a"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["token"], r["n_occurrences"], r["n_docs"])
+        for r in vocab_top_k(d, k=3).collect()
+    ]
+    # b and c tie at 3 occurrences -> token asc breaks the tie
+    assert got == [("b", 3, 2), ("c", 3, 2), ("a", 2, 2)]
+
+
+def test_vocab_top_k_plan_partial_aggs_no_global_sort(spark):
+    """100-TB pins: both aggregation levels reduce map-side (a corpus
+    stopword collapses per partition before the wire) and the top-k is
+    TakeOrderedAndProject — no corpus-sized Sort node."""
+    from cdc_spark.functions.text import vocab_top_k
+    from cdc_spark.plans.inspect import formatted_plan, has_partial_aggregate
+
+    d = spark.createDataFrame(
+        [(i, f"w{i % 7} the and w{i % 3}") for i in range(200)],
+        "doc_id long, text string",
+    )
+    q = vocab_top_k(d, k=5)
+    assert has_partial_aggregate(q)
+    plan = formatted_plan(q)
+    assert "TakeOrderedAndProject" in plan
+    import re
+
+    assert not re.search(r"\(\d+\) Sort\b", plan)
