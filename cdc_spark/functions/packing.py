@@ -143,6 +143,13 @@ def emit_sequences(
     salting to approximate). No sequence ever concentrates load the way
     a hot doc_id does.
     """
+    # null token arrays count as empty (F.size(null) is -1, which would
+    # corrupt every downstream offset); the empty literal takes the
+    # column's own type so coalesce never widens the token element type
+    ttype = df.schema[tokens_col].dataType.simpleString()
+    df = df.withColumn(
+        tokens_col, F.coalesce(F.col(tokens_col), F.array().cast(ttype))
+    )
     man = pack_manifest(
         df.select(F.col(id_col), F.size(tokens_col).cast("long").alias("_nt")),
         seq_len,

@@ -130,6 +130,24 @@ def test_emit_sequences_skips_empty_docs(spark):
     assert got == {0: [1, 2, 3, 4], 1: [5]}
 
 
+def test_emit_sequences_null_tokens_as_empty_without_widening(spark):
+    """A null token array packs as empty instead of corrupting offsets
+    (F.size(null) = -1), and the guard must not widen the token element
+    type (array<int> in, array<int> out)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from cdc_spark.functions.packing import emit_sequences
+
+    d = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, None), (3, [4, 5])],
+        "doc_id long, tokens array<int>",
+    )
+    out = emit_sequences(d, 4)
+    assert out.schema["tokens"].dataType == ArrayType(IntegerType())
+    got = {r["seq_id"]: list(r["tokens"]) for r in out.collect()}
+    assert got == {0: [1, 2, 3, 4], 1: [5]}
+
+
 def test_emit_sequences_plan_shuffles_by_seq_id_only(spark):
     from cdc_spark.functions.packing import emit_sequences
 
