@@ -149,6 +149,11 @@ def main(argv: list[str] | None = None) -> int:
     pk.add_argument("--seq-len", type=int, default=2048)
     pk.add_argument("--n-buckets", type=int, default=64,
                     help="prefix-sum parallelism (never changes the result)")
+    pk.add_argument("--as-of-version", type=int, default=None,
+                    help="time-travel: pack the table state at this "
+                         "journal version (reproduce the exact training "
+                         "set a past epoch produced; readable back to "
+                         "the last compaction)")
     _add_common(pk)
 
     args = ap.parse_args(argv)
@@ -400,7 +405,7 @@ def main(argv: list[str] | None = None) -> int:
             table = TargetTable(args.table)
             # the engine's doc ids are 'doc%08d' (fixed width): the
             # numeric tail is the deterministic concat order
-            src = table.read_resolved(spark).select(
+            src = table.read_resolved(spark, version=args.as_of_version).select(
                 F.regexp_extract("doc_id", r"(\d+)$", 1).cast("long").alias("_ord"),
                 F.coalesce(F.col("tokens"), F.array().cast("array<int>")).alias("tokens"),
             )

@@ -199,6 +199,25 @@ class TargetTable:
         with open(os.path.join(self.journal_dir, f"v{vs[-1]:08d}.json")) as f:
             return json.load(f)
 
+    def state_at(self, version: int) -> dict:
+        """Journal entry for an EXACT historical version (Iceberg
+        time-travel: `VERSION AS OF`). Raises ValueError when the
+        version was never committed or has been expired by
+        `_prune_journal`; a retained entry whose data dirs were since
+        garbage-collected by compaction fails loudly downstream in
+        `_require_dirs` (the expireSnapshots analogue — history is
+        readable back to the last compaction)."""
+        p = os.path.join(self.journal_dir, f"v{version:08d}.json")
+        if not os.path.isfile(p):
+            vs = self._versions()
+            have = f"{vs[0]}..{vs[-1]}" if vs else "none"
+            raise ValueError(
+                f"{self.path}: version {version} not in journal "
+                f"(never committed, or expired); retained: {have}"
+            )
+        with open(p) as f:
+            return json.load(f)
+
     def registry_before_ddl(self, ddl_id: str) -> list[dict]:
         """Registry as of just BEFORE `ddl_id` was applied (journal
         version walk). DDL-dependent captures need this to be
@@ -566,8 +585,15 @@ class TargetTable:
         sel.append(F.col("last_lsn"))
         return df.filter(~F.col("deleted")).select(*sel)
 
-    def read_resolved(self, spark: SparkSession, state: dict | None = None) -> DataFrame:
+    def read_resolved(
+        self, spark: SparkSession, state: dict | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
         """Current table contents: LWW-resolved, tombstones dropped.
+        `version` time-travels: the read plans against that journal
+        entry's base/delta refs and registry (`state_at`), so a past
+        epoch's exact table state — schema included — reproduces as
+        long as compaction hasn't garbage-collected its files.
 
         Fast path (steady state, `_fast_resolve_ok`): the base — one row
         per key by construction, it IS a resolved snapshot — streams
@@ -576,6 +602,10 @@ class TargetTable:
         its per-key max_by. This is the plan that survives 100 TB: the
         full-table exchange of the naive groupBy never happens.
         Fallback: one hash aggregate over base ∪ deltas."""
+        if version is not None:
+            if state is not None:
+                raise ValueError("pass state= or version=, not both")
+            state = self.state_at(version)
         st = state or self.state()
         base = self.read_base(spark, st)
         deltas = self.read_deltas(spark, st)
