@@ -156,6 +156,27 @@ def main(argv: list[str] | None = None) -> int:
                          "the last compaction)")
     _add_common(pk)
 
+    hy = sub.add_parser(
+        "history",
+        help="list retained journal versions (Iceberg snapshots metadata "
+             "analogue); no Spark session needed",
+    )
+    hy.add_argument("--table", required=True)
+
+    ch = sub.add_parser(
+        "changes",
+        help="incremental changelog scan: apply-rows (upserts + deletes) "
+             "committed between two journal versions — the engine as a "
+             "CDC source for downstream consumers",
+    )
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-version", type=int, required=True, dest="from_version")
+    ch.add_argument("--to-version", type=int, default=None, dest="to_version")
+    ch.add_argument("--out", default=None,
+                    help="write the changelog parquet here (default: "
+                         "summarize counts only)")
+    _add_common(ch)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen":
@@ -183,6 +204,12 @@ def main(argv: list[str] | None = None) -> int:
             paths = write_binlog(cfg, args.out, parts=args.parts)
         print(json.dumps({"segments": len(paths), "events": args.events,
                           "seconds": round(time.monotonic() - t0, 2)}))
+        return 0
+
+    if args.cmd == "history":
+        from cdc_spark.sinks.target import TargetTable
+
+        print(json.dumps(TargetTable(args.table).history()))
         return 0
 
     from cdc_spark.session import get_spark
@@ -394,6 +421,31 @@ def main(argv: list[str] | None = None) -> int:
             n = table.read_resolved(spark).count()
             print(json.dumps({"bootstrapped": entry is not None, "rows": n,
                               "version": table.state()["version"]}))
+            return 0
+        if args.cmd == "changes":
+            from pyspark.sql import functions as F
+
+            from cdc_spark.sinks.target import TargetTable
+
+            t0 = time.monotonic()
+            table = TargetTable(args.table)
+            ch_df = table.read_changes_between(
+                spark, args.from_version, args.to_version
+            )
+            if args.out:
+                ch_df.write.mode("overwrite").parquet(args.out)
+                ch_df = spark.read.parquet(args.out)
+            st = ch_df.groupBy("_change_type").count().collect()
+            counts = {r["_change_type"]: r["count"] for r in st}
+            print(json.dumps({
+                "from_version": args.from_version,
+                "to_version": args.to_version or table.state()["version"],
+                "rows": int(sum(counts.values())),
+                "upserts": int(counts.get("upsert", 0)),
+                "deletes": int(counts.get("delete", 0)),
+                "out": args.out,
+                "seconds": round(time.monotonic() - t0, 2),
+            }))
             return 0
         if args.cmd == "pack":
             from pyspark.sql import functions as F

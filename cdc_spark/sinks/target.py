@@ -218,6 +218,25 @@ class TargetTable:
         with open(p) as f:
             return json.load(f)
 
+    def history(self) -> list[dict]:
+        """One summary row per retained journal version, oldest first —
+        the Iceberg `snapshots` metadata-table analogue (version, kind,
+        epochs applied so far, uncompacted delta count, snapshot id)."""
+        out = []
+        for v in self._versions():
+            with open(os.path.join(self.journal_dir, f"v{v:08d}.json")) as f:
+                e = json.load(f)
+            eps = e.get("epochs") or []
+            out.append({
+                "version": v,
+                "kind": e.get("kind"),
+                "epochs_applied": e.get("epochs_applied", 0),
+                "n_delta_epochs": len(e.get("delta_epochs", [])),
+                "max_epoch": max(eps) if eps else None,
+                "snapshot_id": e.get("snapshot_id"),
+            })
+        return out
+
     def registry_before_ddl(self, ddl_id: str) -> list[dict]:
         """Registry as of just BEFORE `ddl_id` was applied (journal
         version walk). DDL-dependent captures need this to be
@@ -622,6 +641,99 @@ class TargetTable:
         else:
             resolved = self._lww(base.unionByName(deltas))
         return self._to_logical(resolved, st["registry"])
+
+    def read_changes_between(
+        self, spark: SparkSession, v_from: int, v_to: int | None = None,
+    ) -> DataFrame:
+        """Incremental changelog scan (Iceberg incremental read): every
+        apply-row committed AFTER version `v_from`, up to `v_to`
+        (default: latest) — upserts AND delete tombstones, in the
+        CURRENT logical schema, tagged `_change_type` ('upsert' |
+        'delete') and `_epoch`. This makes the engine a CDC *source*
+        for downstream consumers: its own output re-feeds as a change
+        stream keyed identically to the input feed.
+
+        Scale shape: the scan reads ONLY the named epochs' delta dirs
+        (no base, no resolve — O(changed rows), never O(table)).
+        Epochs whose delta dirs compaction already consumed fail
+        loudly — an incremental read must never silently return a
+        partial changelog (Iceberg likewise refuses to span expired
+        snapshots)."""
+        st_from = self.state_at(v_from)
+        st_to = self.state() if v_to is None else self.state_at(v_to)
+        if st_to["version"] < st_from["version"]:
+            raise ValueError(
+                f"v_to {st_to['version']} precedes v_from {st_from['version']}"
+            )
+        # applied(st) is [floor, watermark] ∪ sparse (compaction folds
+        # the contiguous prefix into the watermark and consumes those
+        # epochs' delta dirs). New epochs still in the sparse set have
+        # readable dirs; new epochs already folded are exactly the ones
+        # compaction destroyed — fail loudly, never return a partial
+        # changelog. O(epochs between the versions) driver work.
+        f_from, w_from, s_from = self.applied_epochs(st_from)
+        f_to, w_to, s_to = self.applied_epochs(st_to)
+
+        def _applied_from(e: int) -> bool:
+            return (
+                f_from is not None and f_from <= e <= w_from
+            ) or e in s_from
+
+        new_eps = sorted(e for e in s_to if not _applied_from(e))
+        if f_to is not None and w_to > _NEG_INF:
+            lo = w_from + 1 if (f_from is not None and f_from <= f_to) else f_to
+            folded = [
+                e for e in range(max(f_to, lo), w_to + 1) if not _applied_from(e)
+            ]
+            if folded:
+                raise FileNotFoundError(
+                    f"{self.path}: incremental read {v_from}->"
+                    f"{st_to['version']} spans {len(folded)} epoch(s) "
+                    f"already consumed by compaction (folded into the "
+                    f"watermark): {folded[:5]}; the changelog is readable "
+                    f"back to the last compaction"
+                )
+        reg = st_to["registry"]
+        phys = self.phys_schema(reg)
+        parts, missing = [], []
+        for e in new_eps:
+            ref = (st_to.get("delta_refs") or {}).get(str(e))
+            d = ref or os.path.join(self.path, "delta", f"epoch={e:08d}")
+            if not os.path.isdir(d):
+                missing.append((e, d))
+                continue
+            if ref:
+                ev = spark.read.schema(APPLY_SCHEMA).parquet(d)
+                p = project_to_table(ev, reg)
+            else:
+                p = spark.read.schema(phys).parquet(d)
+            parts.append(p.withColumn("_epoch", F.lit(int(e)).cast("long")))
+        if missing:
+            raise FileNotFoundError(
+                f"{self.path}: incremental read {v_from}->{st_to['version']} "
+                f"needs {len(missing)} epoch delta dir(s) already consumed "
+                f"by compaction: {missing[:5]}; the changelog is readable "
+                f"back to the last compaction"
+            )
+        if not parts:
+            out = spark.createDataFrame([], phys).withColumn(
+                "_epoch", F.lit(None).cast("long")
+            )
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        reg_n = norm_registry(reg)
+        sel = [F.col(n) for n, _ in BASE_FIELDS]
+        sel += [F.col(c["phys"]).alias(c["target"]) for c in reg_n]
+        sel += [
+            F.col("last_lsn"),
+            F.when(F.col("deleted"), F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("_change_type"),
+            F.col("_epoch"),
+        ]
+        return out.select(*sel)
 
     # -- write ----------------------------------------------------------------
 

@@ -66,3 +66,64 @@ def test_compaction_expires_history_loudly(spark, workdir, small_binlog):
     assert latest.count() > 0  # current read unaffected
     with pytest.raises(FileNotFoundError, match="journal references"):
         table.read_resolved(spark, version=v_old).collect()
+
+
+def test_changelog_applies_forward_to_latest_state(spark, workdir):
+    """read_changes_between(v_a) must be a COMPLETE changelog: applying
+    its upserts/deletes (LWW by last_lsn) on top of the v_a snapshot
+    reproduces the latest resolved state exactly. DDL-free feed so both
+    snapshots share one schema."""
+    from cdc_spark.genlog import GenConfig, write_binlog
+
+    d = f"{workdir}/cl_binlog"
+    t = f"{workdir}/cl_table"
+    write_binlog(
+        GenConfig(n_events=4000, n_docs=300, events_per_epoch=1000,
+                  seed=11, ddl_schedule=()),
+        d,
+    )
+    table = replay(spark, d, t, stop_after=2, lineage=False)
+    v_a = table.state()["version"]
+    snap_a = {r["doc_id"]: r.asDict() for r in table.read_resolved(spark).collect()}
+    replay(spark, d, t, lineage=False)  # epochs 3-4
+    latest = {r["doc_id"]: r.asDict() for r in table.read_resolved(spark).collect()}
+
+    ch = table.read_changes_between(spark, v_a)
+    rows = sorted(
+        (r.asDict() for r in ch.collect()), key=lambda r: r["last_lsn"]
+    )
+    assert rows, "changelog between v_a and latest must be non-empty"
+    assert {r["_change_type"] for r in rows} <= {"upsert", "delete"}
+    state = dict(snap_a)
+    for r in rows:
+        if r["_change_type"] == "delete":
+            state.pop(r["doc_id"], None)
+        else:
+            state[r["doc_id"]] = {
+                k: v for k, v in r.items() if k not in ("_change_type", "_epoch")
+            }
+
+    def _cmp(d_):
+        return {
+            k: {kk: (tuple(vv) if isinstance(vv, list) else vv)
+                for kk, vv in v.items()}
+            for k, v in d_.items()
+        }
+
+    assert _cmp(state) == _cmp(latest)
+
+
+def test_changelog_empty_and_expired(spark, workdir, small_binlog):
+    d = f"{workdir}/cl_table2"
+    table = replay(spark, small_binlog, d, lineage=False)
+    v = table.state()["version"]
+    empty = table.read_changes_between(spark, v)
+    assert empty.count() == 0
+    assert {"_change_type", "_epoch", "doc_id", "last_lsn"} <= set(empty.columns)
+    hist = table.history()
+    assert [h["version"] for h in hist] == sorted(h["version"] for h in hist)
+    assert any(h["kind"] == "delta" for h in hist)
+    v_first = hist[0]["version"]
+    table.compact(spark)
+    with pytest.raises(FileNotFoundError, match="consumed"):
+        table.read_changes_between(spark, v_first).collect()
