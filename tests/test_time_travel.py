@@ -127,3 +127,47 @@ def test_changelog_empty_and_expired(spark, workdir, small_binlog):
     table.compact(spark)
     with pytest.raises(FileNotFoundError, match="consumed"):
         table.read_changes_between(spark, v_first).collect()
+
+
+def test_changelog_chains_to_downstream_replica(spark, workdir):
+    """CDC chaining: a downstream replica built ONLY from changelog
+    windows (one commit_delta per window) must resolve to the same
+    state as the primary — the engine's output is itself a complete
+    change feed. DDL-free feed so phys == logical schema."""
+    import pyspark.sql.functions as F
+
+    from cdc_spark.genlog import GenConfig, write_binlog
+
+    d = f"{workdir}/chain_binlog"
+    write_binlog(
+        GenConfig(n_events=4000, n_docs=300, events_per_epoch=1000,
+                  seed=13, ddl_schedule=()),
+        d,
+    )
+    primary_dir = f"{workdir}/chain_primary"
+    replica = TargetTable(f"{workdir}/chain_replica")
+    replica.create_if_absent()
+    versions = []
+    for k in range(1, 5):
+        primary = replay(spark, d, primary_dir, stop_after=k, lineage=False)
+        versions.append(primary.state()["version"])
+        # first window starts at the create entry (journal version 0)
+        v_prev = versions[-2] if len(versions) > 1 else 0
+        window = primary.read_changes_between(spark, v_prev, versions[-1])
+        delta = window.withColumn(
+            "deleted", F.col("_change_type") == "delete"
+        ).drop("_change_type", "_epoch")
+        replica.commit_delta(delta, epoch=k, stats=None)
+
+    def _rows2(t):
+        def _h(v):
+            return tuple(v) if isinstance(v, list) else v
+
+        return {
+            tuple(sorted((k, _h(v)) for k, v in r.asDict().items()))
+            for r in t.read_resolved(spark).collect()
+        }
+
+    primary = TargetTable(primary_dir)
+    assert _rows2(replica) == _rows2(primary)
+    assert len(_rows2(replica)) > 0
