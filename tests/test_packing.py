@@ -234,3 +234,36 @@ def test_contaminated_plan_broadcasts_eval_side(spark):
     plan = formatted_plan(contaminated(train, ev, k=2))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pack_property_random_corpora(spark):
+    """Property sweep: arbitrary id spacings (huge gaps, dense runs),
+    token lengths incl. zeros, and adversarial bucket counts all pack
+    identically to the Python packer. One Spark job per example, so the
+    example budget stays small; the fixed-fixture tests cover the rest."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cdc_spark.functions.packing import emit_sequences
+
+    docs = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**12),
+                  st.lists(st.integers(min_value=0, max_value=99),
+                           max_size=7)),
+        min_size=1, max_size=20, unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(docs=docs, seq_len=st.integers(min_value=1, max_value=9),
+           n_buckets=st.sampled_from([1, 3, 64]))
+    def run(docs, seq_len, n_buckets):
+        got = {
+            r["seq_id"]: list(r["tokens"])
+            for r in emit_sequences(
+                _tok_docs(spark, docs), seq_len, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == _py_pack(docs, seq_len)
+
+    run()
