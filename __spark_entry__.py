@@ -509,10 +509,10 @@ def _q_pack_sequences(spark, sf):
 
     from cdc_spark.caching import track_persist
 
-    # persist the tokenized corpus: the manifest's bounds/totals jobs,
-    # the join, and the overlap slices would otherwise each re-evaluate
-    # the interpreted md5 token transform (CLAUDE.md: md5-heavy array
-    # exprs go behind a barrier or persist)
+    # persist the tokenized corpus: the packer's bounds/totals jobs and
+    # the windowed emit would otherwise each re-evaluate the interpreted
+    # md5 token transform (CLAUDE.md: md5-heavy array exprs go behind a
+    # barrier or persist)
     d = track_persist(
         _load(spark, sf, "documents").select(
             "doc_id",

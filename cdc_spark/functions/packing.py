@@ -131,18 +131,28 @@ def emit_sequences(
     may be shorter; padding policy belongs to the trainer). `df` is the
     tokenized corpus — (id_col, tokens_col: array<numeric>).
 
-    Scale shape: the manifest (a pure column projection per doc) tells
-    each doc exactly which sequences it feeds, so the emit is
-    explode(seq range) → slice the doc's overlap → ONE shuffle keyed by
-    seq_id → in-group ordered flatten. Every property is bounded by
-    construction: a doc spans ≤ ceil(n_tok/L)+1 sequences (explode
-    fan-out is O(total_tokens/L) rows), and a sequence receives ≤ L
-    contributor chunks of ≤ L tokens each — groups are PERFECTLY
-    balanced at exactly seq_len tokens, so the assembling aggregation
-    has zero skew by design (the rare property the LWW dedupe needs
-    salting to approximate). No sequence ever concentrates load the way
-    a hot doc_id does.
+    Scale shape: the prefix-sum offsets are computed INLINE on the
+    corpus (the same two-phase bucket scheme as `pack_manifest`, with
+    the token arrays riding the bucket window) rather than via a
+    manifest self-join — a join back on id would shuffle AND sort the
+    wide token data a second time for zero information gain. The emit
+    is then explode(seq range) → slice the doc's overlap → ONE shuffle
+    keyed by seq_id → in-group ordered flatten. Every property is
+    bounded by construction: a doc spans ≤ ceil(n_tok/L)+1 sequences
+    (explode fan-out is O(total_tokens/L) rows), and a sequence
+    receives ≤ L contributor chunks of ≤ L tokens each — groups are
+    PERFECTLY balanced at exactly seq_len tokens, so the assembling
+    aggregation has zero skew by design (the rare property the LWW
+    dedupe needs salting to approximate). No sequence ever concentrates
+    load the way a hot doc_id does. Wide-data exchanges: exactly two
+    (hashpartitioning(_bkt) into the window, hashpartitioning(seq_id)
+    into the assembly) — plan-pinned.
     """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    spark = df.sparkSession
     # null token arrays count as empty (F.size(null) is -1, which would
     # corrupt every downstream offset); the empty literal takes the
     # column's own type so coalesce never widens the token element type
@@ -150,18 +160,52 @@ def emit_sequences(
     df = df.withColumn(
         tokens_col, F.coalesce(F.col(tokens_col), F.array().cast(ttype))
     )
-    man = pack_manifest(
-        df.select(F.col(id_col), F.size(tokens_col).cast("long").alias("_nt")),
-        seq_len,
-        id_col=id_col,
-        n_tok_col="_nt",
-        n_buckets=n_buckets,
-    ).select(id_col, "tok_offset", "seq_first", "seq_last")
-    src = df.select(id_col, tokens_col).join(man, id_col)
-    seq = F.explode(F.sequence(F.col("seq_first"), F.col("seq_last"))).alias(
-        "seq_id"
+    bounds = df.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
+    if bounds is None or bounds["lo"] is None:
+        return spark.createDataFrame(
+            [], f"seq_id long, {tokens_col} {ttype}, n_tok long"
+        )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, (hi - lo) // n_buckets + 1)
+    src = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(tokens_col),
+        F.size(tokens_col).cast("long").alias("_nt"),
+        F.floor((F.col(id_col) - F.lit(lo)) / F.lit(width)).alias("_bkt"),
     )
-    contrib = src.select(F.col(id_col), F.col(tokens_col), "tok_offset", seq)
+
+    # phase 1+2: per-bucket token totals (column-pruned to _bkt/_nt) ->
+    # O(n_buckets) driver exclusive scan -> broadcast back
+    totals = {
+        int(r["_bkt"]): int(r["t"])
+        for r in src.groupBy("_bkt").agg(F.sum("_nt").alias("t")).collect()
+    }
+    bases, acc = [], 0
+    for b in sorted(totals):
+        bases.append((b, acc))
+        acc += totals[b]
+    base_df = spark.createDataFrame(bases, "_bkt long, _base long")
+
+    # phase 3: cumsum window partitioned by bucket, tokens carried along
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = src.withColumn(
+        "_off_in_bkt", F.sum("_nt").over(w) - F.col("_nt")
+    ).join(F.broadcast(base_df), "_bkt")
+    off = (F.col("_base") + F.col("_off_in_bkt")).alias("tok_offset")
+    last_tok = F.col("tok_offset") + F.greatest(F.col("_nt"), F.lit(1)) - 1
+    seq = F.explode(
+        F.sequence(
+            F.floor(F.col("tok_offset") / seq_len),
+            F.floor(last_tok / seq_len),
+        )
+    ).alias("seq_id")
+    contrib = offs.select(F.col(tokens_col), off, F.col("_nt")).select(
+        F.col(tokens_col), "tok_offset", seq
+    )
     # the doc's token range is [tok_offset, tok_offset + n_tok); sequence
     # s covers [s*L, (s+1)*L) — contribute the (1-based) overlap slice
     lo = F.greatest(F.col("seq_id") * seq_len - F.col("tok_offset"), F.lit(0))

@@ -4,6 +4,8 @@ SinglePartition window; broadcast eval-side probe)."""
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -149,12 +151,22 @@ def test_emit_sequences_null_tokens_as_empty_without_widening(spark):
 
 
 def test_emit_sequences_plan_shuffles_by_seq_id_only(spark):
+    """The wide token data crosses the wire exactly twice — into the
+    bucket window and into the seq_id assembly. In particular there is
+    no manifest self-join (a SortMergeJoin back on doc_id would shuffle
+    AND sort the token arrays a third time)."""
     from cdc_spark.functions.packing import emit_sequences
 
     rows = [(i, [i, i + 1]) for i in range(100)]
     plan = formatted_plan(emit_sequences(_tok_docs(spark, rows), 8, n_buckets=4))
     assert "SinglePartition" not in plan
     assert "hashpartitioning(seq_id" in plan
+    assert "hashpartitioning(_bkt" in plan
+    assert "SortMergeJoin" not in plan
+    # formatted mode lists nodes as "(N) Exchange" with partitioning in
+    # the detail section; "(N) BroadcastExchange" (the tiny per-bucket
+    # base map) deliberately doesn't count as a wide-data shuffle
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 2
 
 
 def test_pack_cli_packs_resolved_table(spark, workdir, small_binlog):
